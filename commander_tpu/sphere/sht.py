@@ -159,8 +159,10 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
 
     w = healpix.ring_weights(nside) if weights == "ring" else healpix.area_weights(nside)
 
-    dev = lambda x: jnp.asarray(x, dtype=rdtype)
-    devc = lambda x: jnp.asarray(x, dtype=cdtype)
+    # cast on host first: the TPU backend cannot ingest float64 buffers,
+    # and device-side convert_element_type would require an f64 H2D.
+    dev = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(rdtype)))
+    devc = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(cdtype)))
     return SHTPlan(
         nside=nside, lmax=lmax, mmax=mmax, rdtype=rdtype, cdtype=cdtype,
         lam0=dev(lam0_np),

@@ -1,0 +1,92 @@
+"""Spectral-index (nonlinear) sampler tests against analytic posteriors."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from commander_tpu.instrument.bandpass import delta_bandpass
+from commander_tpu.model.mixing import DiffuseComponent, mixing_element
+from commander_tpu.sampling import specind
+
+GHZ = 1e9
+
+
+def test_cdf_invert_gaussian():
+    # inversion sampler on an exact Gaussian lnL must reproduce its moments
+    grid = jnp.linspace(-5.0, 5.0, 201)
+    mu, sig = 0.7, 0.4
+    lnl = -0.5 * ((grid - mu) / sig) ** 2
+    lnl = jnp.broadcast_to(lnl, (4000, 201))
+    keys = jax.random.PRNGKey(0)
+    draws = specind._cdf_invert(keys, lnl, grid)
+    assert abs(np.mean(np.asarray(draws)) - mu) < 0.02
+    assert abs(np.std(np.asarray(draws)) - sig) < 0.02
+
+
+def _setup_pixel_problem(beta_true=-3.0, rms=0.05, npix=512, seed=0):
+    comp = DiffuseComponent("synch", "power_law", 30 * GHZ, theta0=(beta_true,))
+    bps = [delta_bandpass(f * GHZ, unit="uK_RJ") for f in (10, 23, 33, 44, 70)]
+    rng = np.random.default_rng(seed)
+    amp = jnp.asarray(np.abs(rng.standard_normal((1, npix))) * 50 + 30)
+    F_true = jnp.stack([mixing_element(comp, bp, (beta_true,)) for bp in bps])
+    data = F_true[:, None, None] * amp[None] \
+        + rms * rng.standard_normal((len(bps), 1, npix))
+    inv_rms2 = jnp.full((len(bps), 1, npix), 1.0 / rms**2)
+    return comp, bps, jnp.asarray(data), amp, inv_rms2
+
+
+def test_pixel_specind_recovers_truth():
+    beta_true = -3.0
+    comp, bps, data, amp, inv_rms2 = _setup_pixel_problem(beta_true)
+    cfg = specind.SpecIndConfig(grid_min=-4.5, grid_max=-1.5, ngrid=256)
+    key = jax.random.PRNGKey(1)
+    beta = specind.sample_specind_pixel(key, comp, bps, cfg, data, amp,
+                                        inv_rms2, (beta_true,), which=0)
+    b = np.asarray(beta)
+    assert abs(b.mean() - beta_true) < 0.01
+    # per-pixel posterior width should be tiny at SNR ~ 1000
+    assert b.std() < 0.05
+
+
+def test_fullsky_specind():
+    beta_true = -2.8
+    comp, bps, data, amp, inv_rms2 = _setup_pixel_problem(beta_true, rms=2.0)
+    cfg = specind.SpecIndConfig(grid_min=-4.0, grid_max=-2.0, ngrid=256)
+    draws = []
+    for s in range(16):
+        b = specind.sample_specind_fullsky(jax.random.PRNGKey(s), comp, bps,
+                                           cfg, data, amp, inv_rms2,
+                                           (beta_true,), which=0)
+        draws.append(float(b))
+    assert abs(np.mean(draws) - beta_true) < 0.01
+
+
+def test_region_specind():
+    beta_true = -3.0
+    comp, bps, data, amp, inv_rms2 = _setup_pixel_problem(beta_true)
+    npix = data.shape[-1]
+    region = jnp.asarray(np.arange(npix) % 8, dtype=jnp.int32)
+    cfg = specind.SpecIndConfig(grid_min=-4.5, grid_max=-1.5, ngrid=128)
+    th_reg, th_pix = specind.sample_specind_regions(
+        jax.random.PRNGKey(2), comp, bps, cfg, data, amp, inv_rms2,
+        (beta_true,), region, 8)
+    assert th_reg.shape == (8,)
+    # posterior per region is narrower than one grid cell; accuracy is
+    # limited by the grid spacing (3.0/127 ~ 0.024)
+    assert np.abs(np.asarray(th_reg) - beta_true).max() < 0.05
+    np.testing.assert_allclose(np.asarray(th_pix), np.asarray(th_reg)[np.asarray(region)])
+
+
+def test_prior_dominates_when_no_data():
+    comp = DiffuseComponent("synch", "power_law", 30 * GHZ, theta0=(-3.0,))
+    bps = [delta_bandpass(23 * GHZ, unit="uK_RJ")]
+    npix = 256
+    cfg = specind.SpecIndConfig(grid_min=-5.0, grid_max=-1.0, ngrid=256,
+                                prior_mean=-3.2, prior_std=0.1)
+    res = jnp.zeros((1, 1, npix))
+    amp = jnp.zeros((1, npix))          # no signal -> posterior = prior
+    inv_rms2 = jnp.ones((1, 1, npix))
+    beta = specind.sample_specind_pixel(jax.random.PRNGKey(3), comp, bps, cfg,
+                                        res, amp, inv_rms2, (-3.0,), which=0)
+    b = np.asarray(beta)
+    assert abs(b.mean() + 3.2) < 0.02
+    assert abs(b.std() - 0.1) < 0.02
