@@ -1,0 +1,279 @@
+"""Top-level run driver: parameter file -> model -> Gibbs chain -> HDF5.
+
+TPU-native counterpart of ``commander.f90`` (program commander): module
+initialization (:70-130), restart logic (:160-174), the Gibbs loop
+(:182-254), and per-sample chain output (comm_output_mod.f90). Invoked as
+``python -m commander_tpu param.txt [options]``.
+
+Round-1 scope: diffuse components on one shared (nside, lmax) grid, delta
+or top-hat bandpasses, Gaussian beams (or b_l files later), synthetic or
+FITS map data, fullsky spectral-index sampling, map-level gain sampling,
+binned-inverse-gamma or power-law C_ell. TOD processing is stage 7
+(SURVEY.md §7.2) and hooks in at process_tod().
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+GHZ = 1e9
+
+
+def _comp_to_diffuse(c):
+    from .model.mixing import DiffuseComponent
+
+    sed_map = {"cmb": "cmb", "power_law": "power_law", "MBB": "MBB",
+               "freefree": "freefree", "spindust": "spindust",
+               "spindust2": "spindust2", "physdust": "physdust",
+               "line": "line", "curved_power_law": "curved_power_law"}
+    theta0 = tuple(v["default"] for v in c.indices.values()
+                   if v["default"] is not None)
+    return DiffuseComponent(
+        name=c.label, sed=sed_map.get(c.ctype, "power_law"),
+        nu_ref=c.nu_ref_t_ghz * GHZ, polarized=c.polarized,
+        theta0=theta0, unit="uK_cmb" if c.ctype == "cmb" else "uK_RJ")
+
+
+def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
+                data_dir=None, dtype="float64"):
+    """Lower RunConfig into the runtime objects (plan, system, components).
+
+    Mirrors initialize_data_mod + initialize_signal_mod (comm_data_mod.f90:74,
+    comm_signal_mod.f90:46-130)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .instrument.bandpass import delta_bandpass, tophat_bandpass
+    from .instrument.beam import gaussian_bl, pixel_window
+    from .io import fits as fitsio
+    from .model.cl import ClModelConfig, cl_eval
+    from .model.mixing import mixing_matrix
+    from .sampling import amplitude as amp
+    from .sphere import healpix, sht
+    from .sphere.alm import random_alm_white, triangle_mask
+    from .model.cl import apply_sqrtS
+
+    diffuse = [_comp_to_diffuse(c) for c in cfg.comps
+               if c.cclass == "diffuse" and c.ctype not in
+               ("md", "cmb_relquad", "template")]
+    if not diffuse:
+        raise ValueError("no diffuse components in configuration")
+
+    nside = nside or min(b.nside for b in cfg.bands)
+    lmax = lmax or min(2 * nside, min(b.lmax for b in cfg.bands))
+    nl = lmax + 1
+    npix = 12 * nside * nside
+    plan = sht.get_plan(nside, lmax, dtype=dtype)
+
+    bps = []
+    for b in cfg.bands:
+        if b.bandpass_type in ("delta", "none") or b.bandpassfile is None:
+            bps.append(delta_bandpass(b.nominal_freq_ghz * GHZ, unit=b.unit))
+        else:
+            bps.append(tophat_bandpass(b.nominal_freq_ghz * GHZ, 0.2,
+                                       unit=b.unit))
+    F = np.asarray(mixing_matrix(diffuse, bps), dtype=dtype)
+
+    pw = pixel_window(nside, lmax)
+    bl = np.stack([
+        gaussian_bl(max(b.beam_fwhm_arcmin, 1e-3) or 60.0, lmax) * pw
+        if b.beam_fwhm_arcmin else gaussian_bl(60.0, lmax) * pw
+        for b in cfg.bands]).astype(dtype)[:, None, :]
+
+    # C_ell prior models: one shared config (per-comp params), power_law or
+    # binned per the parameter file.
+    bin_starts = tuple(int(x) for x in
+                       np.unique(np.concatenate([[0, 2],
+                                np.geomspace(4, max(lmax, 5), 10).astype(int)])))
+    cl_cfg = ClModelConfig(kind="binned", lmax=lmax, nmaps=1,
+                           bin_starts=bin_starts)
+    ell = np.arange(nl, dtype=np.float64)
+    cl0 = np.stack([
+        (np.asarray(c.cl_amp_def[0] or 1.0)
+         * (np.maximum(ell, 1) / max(c.cl_lpivot, 1))
+         ** (c.cl_beta_def[0] or 0.0)) * 2 * np.pi
+        / np.maximum(ell * (ell + 1), 1)
+        for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
+        ("md", "cmb_relquad", "template")]).astype(dtype)[:, None, :]
+    cl0[..., 0] = cl0[..., 1]
+
+    rng = np.random.default_rng(seed)
+    rms = np.full((len(cfg.bands), 1, npix), 10.0, dtype)
+    if synthetic:
+        import jax.random as jr
+        key = jr.PRNGKey(seed)
+        a_true = apply_sqrtS(jnp.asarray(cl0),
+                             random_alm_white(key, (len(diffuse), 1, nl, nl)))
+        a_true = a_true * jnp.asarray(triangle_mask(nl, nl))
+        sys0 = amp.build_system(jnp.asarray(F), jnp.asarray(bl),
+                                jnp.asarray(rms), jnp.asarray(cl0),
+                                jnp.zeros((len(cfg.bands), 1, npix), dtype))
+        alm_b = amp._project_bands(sys0, plan, a_true)
+        sky = np.asarray(sht.alm2map(plan, alm_b))
+        data = sky + rms * rng.standard_normal(sky.shape)
+        truth = np.asarray(jnp.stack([a_true.real, a_true.imag]))
+    else:
+        maps = []
+        for b in cfg.bands:
+            path = os.path.join(data_dir or ".", b.mapfile or "")
+            if b.mapfile and os.path.exists(path):
+                m = fitsio.read_map(path)[:1]
+                mns = int(np.sqrt(m.shape[1] / 12))
+                if mns != nside:
+                    idx = healpix.udgrade_indices(mns, nside)
+                    m = (m[:, idx].mean(axis=-1) if idx.ndim == 2
+                         else m[:, idx])
+                maps.append(m.astype(dtype))
+            else:
+                maps.append(np.zeros((1, npix), dtype))
+            npath = os.path.join(data_dir or ".", b.noisefile or "")
+            if b.noisefile and os.path.exists(npath):
+                r = fitsio.read_map(npath)[:1]
+                rns = int(np.sqrt(r.shape[1] / 12))
+                if rns != nside:
+                    idx = healpix.udgrade_indices(rns, nside)
+                    r = (np.sqrt((r[:, idx] ** 2).mean(axis=-1))
+                         if idx.ndim == 2 else r[:, idx])
+                rms[len(maps) - 1] = r.astype(dtype)
+        data = np.stack(maps)
+        truth = None
+
+    sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
+                           jnp.asarray(cl0), jnp.asarray(data))
+    meta = {"nside": nside, "lmax": lmax,
+            "comps": [d.name for d in diffuse],
+            "bands": [b.label for b in cfg.bands]}
+    return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth
+
+
+def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
+        outdir=None, dtype="float64", verbose=True):
+    """Execute the Gibbs chain; returns the final state + chain path."""
+    import jax
+    import jax.numpy as jnp
+
+    from .io.chain import ChainFile
+    from .model.cl import cl_eval
+    from .sampling import amplitude as amp, gibbs
+    from .sampling.chisq import compute_chisq
+    from .utils.status import StatusFile, Timer
+
+    outdir = outdir or cfg.output_dir or "./chains"
+    os.makedirs(outdir, exist_ok=True)
+    status = StatusFile(os.path.join(outdir, "comm_status.txt"))
+    timer = Timer()
+    status.update("init start")
+
+    timer.start("init")
+    plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth = build_model(
+        cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype)
+    gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
+                             cg_maxiter=cfg.cg_maxiter,
+                             sample_cl=cfg.sample_powspec)
+    nbins = len(cl_cfg.bin_starts)
+    niter = niter or cfg.num_gibbs_iter
+
+    chain_path = os.path.join(outdir, "chain_c0001.h5")
+    ch = ChainFile(chain_path)
+    first = ch.last_sample()
+    if first > 0:
+        # resume: reject the possibly-corrupt last sample like the reference
+        # (commander.f90:160-174 first_sample = first_sample - 1)
+        first = max(first - 1, 0)
+        prev = ch.read_sample(first) if first > 0 else None
+    else:
+        prev = None
+    ch.write_metadata({k: (v if not isinstance(v, list) else ",".join(map(str, v)))
+                       for k, v in meta.items()})
+
+    key = jax.random.PRNGKey(cfg.base_seed)
+    state = gibbs.init_state(key, len(diffuse), 1, meta["lmax"], nbins)
+    # seed Cl bins from the prior model
+    from .model.cl import bin_index_table
+    idx = bin_index_table(cl_cfg)
+    binned0 = np.stack([np.bincount(idx, weights=cl0[c, 0],
+                                    minlength=nbins)
+                        / np.maximum(np.bincount(idx, minlength=nbins), 1)
+                        for c in range(cl0.shape[0])])[:, None, :]
+    state = dataclasses.replace(state, cl_bins=jnp.asarray(binned0))
+    if prev is not None:
+        a0 = np.stack([prev["comps"][d.name]["alm"] for d in diffuse])
+        state = dataclasses.replace(
+            state, a=jnp.asarray(a0),
+            key=jax.random.fold_in(key, first))
+    timer.stop("init")
+    status.update("init done")
+
+    step = gibbs.make_step_fn(gcfg, sys, plan)
+    chisq_fn = jax.jit(lambda a: compute_chisq(sys, plan, a)[0])
+
+    for it in range(first + 1, niter + 1):
+        timer.start("gibbs")
+        state = step(state)
+        jax.block_until_ready(state.a)
+        dt = timer.stop("gibbs")
+        chi2 = float(chisq_fn(state.a))
+        status.update(f"iter {it} cg={int(state.cg_iters)} "
+                      f"relres={float(state.cg_relres):.2e} chisq={chi2:.1f}")
+        if verbose:
+            print(f"iter {it:5d}  chisq {chi2:14.1f}  cg {int(state.cg_iters):3d} "
+                  f"({float(state.cg_relres):.1e})  {dt:6.2f}s", flush=True)
+        if it % cfg.thinning == 0:
+            timer.start("output")
+            a_np = np.asarray(jnp.stack([state.a.real, state.a.imag]))
+            a_c = a_np[0] + 1j * a_np[1]
+            cl_now = np.asarray(jax.vmap(
+                lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(state.cl_bins))
+            ell = np.arange(meta["lmax"] + 1)
+            dl_fac = ell * (ell + 1) / (2 * np.pi)
+            comps_out = {
+                d.name: {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
+                         "sigma_l": None}
+                for i, d in enumerate(diffuse)}
+            ch.write_sample(it, comps_out,
+                            extra={"chisq": chi2,
+                                   "cg_iters": int(state.cg_iters)})
+            timer.stop("output")
+    ch.close()
+    status.update("done")
+    if verbose:
+        print(timer.report(), flush=True)
+    return state, chain_path
+
+
+def main(argv=None):
+    from .io.params import Params, lower_params
+
+    ap = argparse.ArgumentParser(
+        prog="commander_tpu",
+        description="TPU-native CMB Gibbs sampler (Commander-compatible)")
+    ap.add_argument("paramfile")
+    ap.add_argument("--nside", type=int, default=None)
+    ap.add_argument("--lmax", type=int, default=None)
+    ap.add_argument("--niter", type=int, default=None)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="simulate data from the prior model")
+    ap.add_argument("--outdir", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--f32", action="store_true", help="float32 (TPU native)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    dtype = "float32" if args.f32 else "float64"
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    cfg = lower_params(Params.load(args.paramfile))
+    run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
+        niter=args.niter, outdir=args.outdir, dtype=dtype)
+
+
+if __name__ == "__main__":
+    main()
