@@ -34,7 +34,8 @@ import numpy as np
 from ..model.cl import apply_sqrtS
 from ..ops.cg import CGResult, pcg
 from ..sphere import sht
-from ..sphere.alm import alm_dot, eps_weights, random_alm_white, triangle_mask
+from ..sphere.alm import (alm_dot, eps_weights, random_alm_white, real_m0,
+                          triangle_mask)
 
 
 @jax.tree_util.register_dataclass
@@ -70,7 +71,10 @@ def build_system(F, bl, rms, cl, data, mask=None) -> AmplitudeSystem:
 
 
 def _sqrtS(sys: AmplitudeSystem, u):
-    return apply_sqrtS(sys.cl, u) * sys.tri
+    # real_m0 keeps the solve in the one-dof-per-(l, m=0) subspace of real
+    # fields (see sphere.alm.real_m0); applied here so every operator/rhs
+    # evaluation stays projected.
+    return real_m0(apply_sqrtS(sys.cl, u) * sys.tri)
 
 
 def _project_bands(sys: AmplitudeSystem, plan, a):
@@ -87,13 +91,26 @@ def _project_bands_T(sys: AmplitudeSystem, plan, alm_b):
     return jnp.einsum("bcs,bslm->cslm", sys.F, alm_b)
 
 
+def _synth(plan, alm_b):
+    """Batched band synthesis: spin-0 for S=1, T+spin-2 for S=3."""
+    if alm_b.shape[-3] == 3:
+        return sht.alm2map_teb(plan, alm_b)
+    return sht.alm2map(plan, alm_b)
+
+
+def _synth_T(plan, maps):
+    if maps.shape[-2] == 3:
+        return sht.alm2map_teb_adjoint(plan, maps)
+    return sht.alm2map_adjoint(plan, maps)
+
+
 def apply_A(sys: AmplitudeSystem, plan, u):
     """(1 + S^1/2 A^T N^-1 A S^1/2) u — one batched Y and Yt over all bands."""
     a = _sqrtS(sys, u)
     alm_b = _project_bands(sys, plan, a)
-    m = sht.alm2map(plan, alm_b)                 # batch (B, S)
+    m = _synth(plan, alm_b)                      # batch (B, S)
     m = m * sys.inv_rms2
-    r_b = sht.alm2map_adjoint(plan, m)
+    r_b = _synth_T(plan, m)
     r = _project_bands_T(sys, plan, r_b)
     return u + _sqrtS(sys, r)
 
@@ -110,7 +127,7 @@ def compute_rhs(sys: AmplitudeSystem, plan, key=None):
         k1, k2 = jax.random.split(key)
         eta1 = jax.random.normal(k1, sys.data.shape, sys.data.dtype)
         w = w + eta1 * sys.inv_rms
-    r_b = sht.alm2map_adjoint(plan, w)
+    r_b = _synth_T(plan, w)
     rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
     if key is not None:
         eta2 = random_alm_white(k2, rhs.shape[:-2] + rhs.shape[-2:],

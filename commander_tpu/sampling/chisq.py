@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..sphere import sht
-from .amplitude import AmplitudeSystem, _project_bands
+from .amplitude import AmplitudeSystem, _project_bands, _synth
 
 
 def sky_signal(sys: AmplitudeSystem, plan, a, exclude: int | None = None):
@@ -22,7 +22,7 @@ def sky_signal(sys: AmplitudeSystem, plan, a, exclude: int | None = None):
     if exclude is not None:
         a = a.at[exclude].set(0.0)
     alm_b = _project_bands(sys, plan, a)
-    return sht.alm2map(plan, alm_b)
+    return _synth(plan, alm_b)
 
 
 def compute_residual(sys: AmplitudeSystem, plan, a, exclude: int | None = None):

@@ -50,3 +50,13 @@ def random_alm_white(key, shape, dtype=jnp.float64) -> jnp.ndarray:
 def almxfl(alm: jnp.ndarray, fl: jnp.ndarray) -> jnp.ndarray:
     """Multiply alm[..., l, m] by per-ell function fl[..., l]."""
     return alm * fl[..., :, None]
+
+
+def real_m0(alm: jnp.ndarray) -> jnp.ndarray:
+    """Project m=0 coefficients onto the real axis.
+
+    Real fields carry exactly ONE real dof at m=0; the complex layout has a
+    spurious imaginary slot there (under spin-2 synthesis Im E_l0 aliases
+    B_l0). Samplers and CG operators must stay in this subspace — the
+    analog of the reference's real-packed solution vector (cr_amp2x)."""
+    return alm.at[..., 0].set(alm[..., 0].real.astype(alm.dtype))

@@ -345,6 +345,30 @@ def alm2map_spin2_adjoint(plan: SHTPlan, Q: jax.Array, U: jax.Array):
     return Eh, Bh
 
 
+def alm2map_teb(plan: SHTPlan, alm: jax.Array) -> jax.Array:
+    """(..., 3, nl, nm) [T,E,B] alms -> (..., 3, npix) [T,Q,U] maps.
+
+    The polarized Y of the reference (comm_map_mod.f90:437-455 handles all
+    Stokes in one libsharp job; here T uses spin-0, (E,B) spin-2)."""
+    T = alm2map(plan, alm[..., 0, :, :])
+    Q, U = alm2map_spin2(plan, alm[..., 1, :, :], alm[..., 2, :, :])
+    return jnp.stack([T, Q, U], axis=-2)
+
+
+def alm2map_teb_adjoint(plan: SHTPlan, maps: jax.Array) -> jax.Array:
+    """Adjoint of alm2map_teb: (..., 3, npix) -> (..., 3, nl, nm)."""
+    T = alm2map_adjoint(plan, maps[..., 0, :])
+    E, B = alm2map_spin2_adjoint(plan, maps[..., 1, :], maps[..., 2, :])
+    return jnp.stack([T, E, B], axis=-3)
+
+
+def map2alm_teb(plan: SHTPlan, maps: jax.Array) -> jax.Array:
+    """Quadrature analysis for [T,Q,U] -> [T,E,B] (YtW, polarized)."""
+    T = map2alm(plan, maps[..., 0, :])
+    E, B = map2alm_spin2(plan, maps[..., 1, :], maps[..., 2, :])
+    return jnp.stack([T, E, B], axis=-3)
+
+
 def map2alm_spin2(plan: SHTPlan, Q: jax.Array, U: jax.Array):
     """Quadrature-weighted spin-2 analysis (YtW for polarization)."""
     w = plan.ring_weight
