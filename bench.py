@@ -1,57 +1,105 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Headline: batched spin-0 SHT throughput (alm2map, SHTs/sec/chip) at
-nside 256 / lmax 512 — the reference's #1 hot kernel (libsharp inside
-cr_matmulA; SURVEY.md §6 'SHTs/sec/chip'). vs_baseline compares against a
-measured reference anchor; BASELINE.md records that the reference publishes
-no numbers, so the anchor is libsharp-class CPU throughput on the same
-transform (order 10 SHT/s/node at nside 256); we report the ratio against
-1 SHT/s as a conservative placeholder until the reference is timed on this
-host (protocol in BASELINE.md).
+Headline: batched spin-0 SHT roundtrip throughput (alm2map + map2alm,
+SHTs/sec/chip) at nside 256 / lmax 512 — the reference's #1 hot kernel
+(libsharp inside cr_matmulA; SURVEY.md §6 'SHTs/sec/chip').
+
+Infrastructure notes (this container's axon TPU runtime):
+  * block_until_ready can be a no-op -> timing uses CHAINED iterations
+    (lax.fori_loop feeding each roundtrip into the next) ended by a scalar
+    device->host readback, and reports the n-scaling difference so constant
+    overheads cancel.
+  * transfers are flaky per-session -> the outer driver retries the inner
+    bench in fresh subprocesses until one returns valid JSON.
+
+vs_baseline anchors to 10 SHT/s — libsharp-class full-node CPU throughput
+for this transform size (BASELINE.md: the reference publishes no numbers,
+so the anchor is the measured-order of its SHT backend; revisit when the
+reference is timed on this host).
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+BASELINE_SHT_PER_S = 10.0
 
 
-def main():
+def inner():
+    import numpy as np
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from commander_tpu.sphere import sht
 
-    nside, lmax, batch = 256, 512, 8
-    dtype = "float32"
     on_tpu = jax.devices()[0].platform != "cpu"
-    if not on_tpu:
-        nside, lmax, batch = 64, 128, 8
+    nside, lmax, batch = (256, 512, 8) if on_tpu else (64, 128, 4)
+    dtype = "float32" if on_tpu else "float64"
     plan = sht.get_plan(nside, lmax, dtype=dtype)
     nl = lmax + 1
     rng = np.random.default_rng(0)
-    alm = (rng.standard_normal((batch, nl, nl))
-           + 1j * rng.standard_normal((batch, nl, nl))).astype(np.complex64)
-    for l in range(nl):
-        alm[:, l, l + 1:] = 0
-    a = jnp.asarray(alm)
+    a0 = rng.standard_normal((batch, nl, nl)) + 1j * rng.standard_normal((batch, nl, nl))
+    a = jnp.asarray(a0.astype(np.complex64 if dtype == "float32" else np.complex128))
 
-    synth = jax.jit(lambda p, x: sht.alm2map(p, x))
-    m = synth(plan, a)
-    m.block_until_ready()
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        m = synth(plan, a)
-    m.block_until_ready()
-    dt = time.perf_counter() - t0
-    shts_per_sec = batch * reps / dt
+    @partial(jax.jit, static_argnums=2)
+    def chain(p, a, n):
+        def body(i, a):
+            return sht.map2alm(p, sht.alm2map(p, a)).astype(a.dtype)
+        return jax.lax.fori_loop(0, n, body, a)
 
-    baseline = 1.0  # measured-reference anchor pending; see BASELINE.md
+    def timed(n):
+        t0 = time.perf_counter()
+        out = chain(plan, a, n)
+        # scalar readback forces completion even when block_until_ready lies
+        val = float(np.asarray(jnp.sum(jnp.abs(out.real))))
+        return time.perf_counter() - t0, val
+
+    timed(1)              # compile both n-variants
+    timed(1)
+    n_lo, n_hi = 2, 12
+    # compile the two variants before timing
+    chain(plan, a, n_lo)
+    chain(plan, a, n_hi)
+    t_lo, v = timed(n_lo)
+    t_hi, _ = timed(n_hi)
+    per_round = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    shts = 2.0 * batch / per_round   # each roundtrip = 2 transforms x batch
+    if not (v > 0 and per_round > 1e-7):
+        raise RuntimeError(f"implausible timing: {per_round} {v}")
     print(json.dumps({
-        "metric": f"alm2map SHTs/sec/chip (nside={nside}, lmax={lmax}, batch={batch}, {dtype})",
-        "value": round(shts_per_sec, 2),
+        "metric": f"SHT transforms/sec/chip (alm2map+map2alm roundtrip, "
+                  f"nside={nside}, lmax={lmax}, batch={batch}, {dtype})",
+        "value": round(shts, 2),
         "unit": "transforms/s",
-        "vs_baseline": round(shts_per_sec / baseline, 2),
+        "vs_baseline": round(shts / BASELINE_SHT_PER_S, 2),
     }))
+
+
+def main():
+    if os.environ.get("COMMANDER_TPU_BENCH_INNER"):
+        inner()
+        return
+    env = dict(os.environ, COMMANDER_TPU_BENCH_INNER="1")
+    last_err = ""
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=560,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{") and '"metric"' in line:
+                    print(line)
+                    return
+            last_err = (out.stderr or "")[-400:]
+        except subprocess.TimeoutExpired:
+            last_err = "timeout"
+    print(json.dumps({"metric": "SHT transforms/sec/chip",
+                      "value": 0.0, "unit": "transforms/s",
+                      "vs_baseline": 0.0,
+                      "error": f"bench failed after retries: {last_err[-200:]}"}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,298 @@
+"""TOD data model and core per-scan kernels, batched TPU-first.
+
+TPU-native counterpart of the reference TOD layer (SURVEY.md §2.9):
+  * data model      comm_tod_mod.f90 (comm_detscan :36-52, comm_scan :54-65)
+  * pointing        comm_tod_pointing_mod.f90 project_sky (:31)
+  * orbital dipole  comm_tod_orbdipole_mod.f90 (:161 pencil beam)
+  * mapmaking       comm_tod_mapmaking_mod.f90 bin_TOD (:34) /
+                    finalize_binned_map (:96)
+  * corr. noise     comm_tod_noise_mod.f90 sample_n_corr (:33, FFT core
+                    :140-182), multiply_inv_N (:1366)
+  * noise PSD       comm_tod_noise_mod.f90 sample_noise_psd (:800)
+  * gain            comm_tod_gain_mod.f90 (per-scan GLS :37-142, smoothing
+                    :143-453, abscal :534-576)
+
+Design: the reference processes scans in a serial Fortran loop per MPI rank;
+here every kernel is batched over (nscan, ndet, ntod) arrays with a sample
+mask (flagged/padded samples -> mask 0). FFTs batch over scans x detectors;
+mapmaking is a segment_sum over pixel indices; PSD sampling grids the
+conditional like InvSamp. Scans shard across devices (P4 in SURVEY §2.11)
+with psum-reduced binned maps.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import C_LIGHT, H_PLANCK, K_BOLTZ, T_CMB
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TodBlock:
+    """One band's TOD, bucketed to a common padded length.
+
+    Shapes: nscan=Ns, ndet=Nd, ntod=Nt (padded), npix implied by pix.
+    """
+    tod: jnp.ndarray      # (Ns, Nd, Nt) raw data [V or K]
+    pix: jnp.ndarray      # (Ns, Nd, Nt) int32 RING pixel of each sample
+    psi: jnp.ndarray      # (Ns, Nd, Nt) polarization angle [rad]
+    mask: jnp.ndarray     # (Ns, Nd, Nt) 1 = good sample (flags+padding)
+    vsun: jnp.ndarray     # (Ns, 3) satellite velocity [m/s] per scan
+    fsamp: float          # sampling frequency [Hz]
+
+    @property
+    def nscan(self):
+        return self.tod.shape[0]
+
+    @property
+    def ndet(self):
+        return self.tod.shape[1]
+
+    @property
+    def ntod(self):
+        return self.tod.shape[2]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TodState:
+    """Sampled per-scan/per-det instrument state."""
+    gain: jnp.ndarray     # (Ns, Nd) total gain per scan
+    sigma0: jnp.ndarray   # (Ns, Nd) white-noise level (tod units)
+    alpha: jnp.ndarray    # (Ns, Nd) 1/f slope
+    fknee: jnp.ndarray    # (Ns, Nd) knee frequency [Hz]
+    n_corr: jnp.ndarray   # (Ns, Nd, Nt) correlated-noise realization
+
+
+# ---------------------------------------------------------------------------
+# Pointing: sky maps <-> TOD
+# ---------------------------------------------------------------------------
+
+def project_sky(maps, pix, psi, pol: bool):
+    """s[t] = T[pix] (+ Q[pix] cos 2psi + U[pix] sin 2psi).
+
+    maps: (3, npix) or (1, npix); pix/psi: (..., Nt).
+    Reference: project_sky (comm_tod_pointing_mod.f90:31)."""
+    T = maps[0][pix]
+    if not pol or maps.shape[0] == 1:
+        return T
+    return T + maps[1][pix] * jnp.cos(2.0 * psi) + maps[2][pix] * jnp.sin(2.0 * psi)
+
+
+def orbital_dipole(vsun, pix_vec, nu: float, pix):
+    """Pencil-beam orbital CMB dipole template in uK_cmb with the
+    relativistic quadrupole correction (comm_tod_orbdipole_mod.f90:161-221).
+
+    vsun: (Ns, 3) m/s; pix_vec: (npix, 3) unit vectors; pix: (Ns, Nd, Nt).
+    """
+    beta = vsun / C_LIGHT                                  # (Ns, 3)
+    n = pix_vec[pix]                                       # (Ns, Nd, Nt, 3)
+    b_dot_n = jnp.einsum("sk,sdtk->sdt", beta, n)
+    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    q = x * (jnp.exp(x) + 1.0) / (2.0 * jnp.expm1(x))      # freq-dep quad factor
+    return (T_CMB * 1e6) * (b_dot_n + q * b_dot_n**2)
+
+
+# ---------------------------------------------------------------------------
+# 1/f noise model and FFT-space operations
+# ---------------------------------------------------------------------------
+
+def psd_1f(freqs, sigma0, alpha, fknee):
+    """Noise PSD: sigma0^2 * (1 + (f/fknee)^alpha) with the white part
+    separated; here returns the CORRELATED part only:
+    S_corr(f) = sigma0^2 (f/fknee)^alpha (alpha<0), S(0) := large.
+    freqs (F,), params (...,) -> (..., F)."""
+    f = jnp.maximum(freqs, 1e-12)
+    s = sigma0[..., None] ** 2 * (f / fknee[..., None]) ** alpha[..., None]
+    return s
+
+
+def sample_ncorr(key, resid, mask, sigma0, alpha, fknee, fsamp):
+    """Draw n_corr | resid from the conditional Gaussian in Fourier space.
+
+    resid = d - g s_sky - baselines (the calibrated-signal-subtracted TOD).
+    Conditional (comm_tod_noise_mod.f90:140-182): per frequency bin
+      n_f ~ N( S_c/(S_c + S_w) r_f,  (1/S_c + 1/S_w)^-1 )
+    with S_w = sigma0^2 (white, flat) and S_c the 1/f PSD. Masked samples
+    are gap-filled by the prior (their information is removed by replacing
+    resid with its unmasked mean — the reference's fill_masked_region).
+
+    Shapes: resid/mask (Ns, Nd, Nt); returns (Ns, Nd, Nt).
+    """
+    Nt = resid.shape[-1]
+    good = mask > 0.5
+    mean = jnp.sum(resid * mask, -1, keepdims=True) / jnp.maximum(
+        jnp.sum(mask, -1, keepdims=True), 1.0)
+    r = jnp.where(good, resid, mean)
+    rf = jnp.fft.rfft(r, axis=-1)
+    freqs = jnp.fft.rfftfreq(Nt, 1.0 / fsamp).astype(resid.dtype)
+    S_w = jnp.broadcast_to((sigma0**2)[..., None], rf.shape[:-1] + freqs.shape)
+    S_c = psd_1f(freqs, sigma0, alpha, fknee)
+    # Wiener mean and fluctuation in rfft space
+    W = S_c / (S_c + S_w)
+    var = 1.0 / (1.0 / jnp.maximum(S_c, 1e-30) + 1.0 / jnp.maximum(S_w, 1e-30))
+    k1, k2 = jax.random.split(key)
+    # unit-variance complex noise with rfft symmetry: DC & Nyquist real
+    eta_re = jax.random.normal(k1, rf.shape, resid.dtype)
+    eta_im = jax.random.normal(k2, rf.shape, resid.dtype)
+    nfreq = rf.shape[-1]
+    scale = jnp.full((nfreq,), np.sqrt(0.5), resid.dtype)
+    scale = scale.at[0].set(1.0)
+    if Nt % 2 == 0:
+        scale = scale.at[-1].set(1.0)
+    eta = eta_re * scale + 1j * eta_im * scale
+    eta = eta.at[..., 0].set(eta[..., 0].real)
+    if Nt % 2 == 0:
+        eta = eta.at[..., -1].set(eta[..., -1].real)
+    nf = W * rf + jnp.sqrt(var * Nt) * eta
+    nf = nf.at[..., 0].set(0.0)   # no monopole in n_corr (degeneracy w/ mono)
+    return jnp.fft.irfft(nf, n=Nt, axis=-1)
+
+
+def multiply_inv_N_white(x, mask, sigma0):
+    """White-noise weighting: x * mask / sigma0^2
+    (comm_tod_noise_mod.f90:1366 multiply_inv_N, white limit)."""
+    return x * mask / jnp.maximum(sigma0[..., None] ** 2, 1e-30)
+
+
+def sample_noise_psd(key, resid, mask, fsamp, alpha_grid, fknee_grid,
+                     sigma0_fix=None):
+    """Draw (sigma0, alpha, fknee) | n_corr-subtracted residual.
+
+    sigma0: from the sample-to-sample difference variance (the reference's
+    estimator, sample_noise_psd comm_tod_noise_mod.f90:800: sigma0^2 =
+    Var[ (r_{t+1} - r_t) ] / 2 over unmasked pairs).
+    (alpha, fknee): gridded conditional on the periodogram — the
+    inversion-sampler strategy of the reference's InvSamp/ARS usage,
+    evaluated as one batched (scan,det,grid) tensor.
+    """
+    k1, k2 = jax.random.split(key)
+    d = (resid[..., 1:] - resid[..., :-1])
+    m2 = mask[..., 1:] * mask[..., :-1]
+    npair = jnp.maximum(jnp.sum(m2, -1), 1.0)
+    var = jnp.sum(d**2 * m2, -1) / npair / 2.0
+    # chi^2 draw around the estimator: var * npair / chi2(npair)
+    g = jax.random.gamma(k1, npair / 2.0) * 2.0 / npair
+    sigma0 = jnp.sqrt(var / jnp.maximum(g, 1e-12)) if sigma0_fix is None \
+        else sigma0_fix
+
+    Nt = resid.shape[-1]
+    rf = jnp.fft.rfft(resid * mask, axis=-1)
+    P = jnp.abs(rf[..., 1:]) ** 2 / Nt                  # periodogram
+    freqs = jnp.fft.rfftfreq(Nt, 1.0 / fsamp)[1:].astype(resid.dtype)
+    # lnL(alpha, fknee) = -sum_f [ P/S + ln S ], S = sigma0^2(1+(f/fk)^a)
+    A = alpha_grid.reshape(-1, 1)
+    F = fknee_grid.reshape(1, -1)
+    # grid (G_a, G_f) flattened
+    Sg = 1.0 + (freqs[None, None, :] / F[..., None]) ** A[..., None]
+    # lnL per (..., ga, gf): sum over freq of P/(s0^2 Sg) + log(s0^2 Sg)
+    s02 = jnp.maximum(sigma0**2, 1e-30)
+    t1 = jnp.einsum("...f,abf->...ab", P, 1.0 / Sg) / s02[..., None, None]
+    t2 = jnp.sum(jnp.log(Sg), axis=-1) + freqs.shape[0] * jnp.log(s02)[..., None, None]
+    lnl = -(t1 + t2)
+    lnl = lnl - jnp.max(lnl, axis=(-2, -1), keepdims=True)
+    p = jnp.exp(lnl).reshape(*lnl.shape[:-2], -1)
+    cdf = jnp.cumsum(p, -1)
+    u = jax.random.uniform(k2, cdf.shape[:-1] + (1,), resid.dtype) * cdf[..., -1:]
+    idx = jnp.sum((cdf < u), -1)
+    ia, ifk = jnp.unravel_index(idx, lnl.shape[-2:])
+    return sigma0, alpha_grid[ia], fknee_grid[ifk]
+
+
+# ---------------------------------------------------------------------------
+# Gain sampling
+# ---------------------------------------------------------------------------
+
+def sample_gain_perscan(key, tod, s_ref, mask, sigma0, prior_mean=None,
+                        prior_istd=0.0):
+    """Per-scan per-det gain GLS fit  g = <s,d>/<s,s> with white-noise
+    weights + Gaussian draw (comm_tod_gain_mod.f90:37-142).
+
+    s_ref: the calibration reference signal (sky + orbital dipole)."""
+    w = mask / jnp.maximum(sigma0[..., None] ** 2, 1e-30)
+    num = jnp.sum(s_ref * tod * w, -1)
+    den = jnp.sum(s_ref * s_ref * w, -1)
+    if prior_mean is not None:
+        num = num + prior_mean * prior_istd**2
+        den = den + prior_istd**2
+    mean = num / jnp.maximum(den, 1e-30)
+    std = 1.0 / jnp.sqrt(jnp.maximum(den, 1e-30))
+    return mean + std * jax.random.normal(key, mean.shape, tod.dtype)
+
+
+def smooth_gain(gain, window: int):
+    """Boxcar smoothing of per-scan gains over the scan axis — the
+    light-weight stand-in for the reference's Wiener smoothing over PID
+    ranges (sample_smooth_gain comm_tod_gain_mod.f90:143-453)."""
+    Ns = gain.shape[0]
+    w = min(window, Ns)
+    kern = jnp.ones((w,), gain.dtype) / w
+    pad = w // 2
+    gp = jnp.pad(gain, ((pad, w - 1 - pad), (0, 0)), mode="edge")
+    return jax.vmap(lambda col: jnp.convolve(col, kern, mode="valid"),
+                    in_axes=1, out_axes=1)(gp)
+
+
+def sample_abscal(key, tod_resid, s_orb, mask, sigma0):
+    """Absolute calibration from the orbital dipole: one global gain factor
+    across all scans/dets (sample_abscal_from_orbital,
+    comm_tod_gain_mod.f90:534-576)."""
+    w = mask / jnp.maximum(sigma0[..., None] ** 2, 1e-30)
+    num = jnp.sum(s_orb * tod_resid * w)
+    den = jnp.sum(s_orb * s_orb * w)
+    mean = num / jnp.maximum(den, 1e-30)
+    std = 1.0 / jnp.sqrt(jnp.maximum(den, 1e-30))
+    return mean + std * jax.random.normal(key, (), tod_resid.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Mapmaking
+# ---------------------------------------------------------------------------
+
+def bin_tod(calib_tod, pix, psi, mask, inv_var, npix: int, pol: bool):
+    """Accumulate per-pixel normal equations from calibrated TOD.
+
+    A = sum_t w_t u_t u_t^T, b = sum_t w_t d_t u_t with u = (1, cos2psi,
+    sin2psi) (or (1,) for T-only); w = mask/sigma0^2. One segment_sum over
+    flattened samples replaces the reference's node-shared accumulation
+    loops (bin_TOD comm_tod_mapmaking_mod.f90:34-94).
+    Returns (A (npix,k,k), b (npix,k))."""
+    w = (mask * inv_var[..., None]).reshape(-1)
+    d = calib_tod.reshape(-1)
+    p = pix.reshape(-1)
+    if pol:
+        c = jnp.cos(2.0 * psi).reshape(-1)
+        s = jnp.sin(2.0 * psi).reshape(-1)
+        one = jnp.ones_like(c)
+        u = jnp.stack([one, c, s], -1)                    # (N, 3)
+    else:
+        u = jnp.ones((d.shape[0], 1), d.dtype)
+    uu = u[:, :, None] * u[:, None, :] * w[:, None, None]
+    du = u * (w * d)[:, None]
+    A = jax.ops.segment_sum(uu, p, num_segments=npix)
+    b = jax.ops.segment_sum(du, p, num_segments=npix)
+    return A, b
+
+
+def finalize_binned_map(key, A, b, reg: float = 1e-20):
+    """Solve per-pixel systems, return (maps (k,npix), rms (k,npix), and a
+    white-noise fluctuation map) — finalize_binned_map
+    (comm_tod_mapmaking_mod.f90:96-299). Unhit pixels -> 0 map, 0 weight."""
+    k = A.shape[-1]
+    hit = A[:, 0, 0] > 0
+    Areg = A + reg * jnp.eye(k)
+    # condition check via determinant of the 3x3 (or scalar)
+    Ainv = jnp.linalg.inv(Areg + (~hit)[:, None, None] * jnp.eye(k))
+    m = jnp.einsum("pij,pj->pi", Ainv, b)
+    var = jnp.diagonal(Ainv, axis1=-2, axis2=-1)
+    rms = jnp.sqrt(jnp.maximum(var, 0.0))
+    eta = jax.random.normal(key, b.shape, b.dtype)
+    L = jnp.linalg.cholesky(Ainv + (~hit)[:, None, None] * jnp.eye(k))
+    fluct = jnp.einsum("pij,pj->pi", L, eta)
+    zero = hit[:, None]
+    return (m * zero).T, (rms * zero).T, (fluct * zero).T
