@@ -151,8 +151,46 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth
 
 
+def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
+    """Simulate TOD blocks per band from the current synthetic sky — the
+    stand-in for reading real archives (read_tod, comm_tod_mod.f90) so the
+    full TOD->mapmaking->component-separation loop runs end to end."""
+    import jax.numpy as jnp
+    from .sampling import amplitude as amp
+    from .sphere import healpix, sht
+    from .tod.process import TodConfig, init_tod_state
+    from .tod.sim import simulate_tod
+
+    blocks = {}
+    sky0 = np.asarray(sys.data)  # synthetic data as the TOD's sky truth
+    for b, band in enumerate(cfg.bands):
+        if band.tod_type in (None, "none"):
+            continue
+        tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ)
+        block, truth = simulate_tod(
+            nside, sky0[b], nscan=8, ndet=2, ntod=4096,
+            sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
+            gain0=1.0, seed=seed + b)
+        blocks[b] = (tcfg, block, init_tod_state(block))
+    return blocks
+
+
+def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
+    """A few TOD-only Gibbs passes so (gain, sigma0, n_corr) converge
+    before their maps feed the component separation (the reference runs
+    TOD processing from iteration 1 but its noise init comes from the
+    archive scalars; synthetic runs need the burn-in)."""
+    import jax
+    for _ in range(npasses):
+        for b, (tcfg, block, tstate) in tod_blocks.items():
+            key, k = jax.random.split(key)
+            tstate, _ = tod_step(tcfg, block, tstate, sky_bands[b], k)
+            tod_blocks[b] = (tcfg, block, tstate)
+    return key
+
+
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
-        outdir=None, dtype="float64", verbose=True):
+        outdir=None, dtype="float64", verbose=True, tod=False):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -160,7 +198,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     from .io.chain import ChainFile
     from .model.cl import cl_eval
     from .sampling import amplitude as amp, gibbs
-    from .sampling.chisq import compute_chisq
+    from .sampling.chisq import compute_chisq, sky_signal
+    from .sphere import healpix
+    from .tod.process import process_tod
     from .utils.status import StatusFile, Timer
 
     outdir = outdir or cfg.output_dir or "./chains"
@@ -209,15 +249,60 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     timer.stop("init")
     status.update("init done")
 
-    step = gibbs.make_step_fn(gcfg, sys, plan)
-    chisq_fn = jax.jit(lambda a: compute_chisq(sys, plan, a)[0])
+    tod_blocks = {}
+    if tod and cfg.enable_tod:
+        # presample amplitudes from the initial band maps so the first TOD
+        # pass sees a real sky model (the reference warm-starts from init
+        # maps / chains, comm_signal_mod initialize_from_chain)
+        state = gibbs.gibbs_step(gcfg, sys, plan, state)
+        tod_blocks = _setup_synthetic_tod(cfg, plan, sys, diffuse,
+                                          meta["nside"], seed=cfg.base_seed)
+        pvec = jnp.asarray(healpix.pix2vec_ring(meta["nside"]))
+        tod_step = jax.jit(
+            lambda tcfg, block, tstate, sky, k: process_tod(
+                tcfg, block, tstate, sky, pvec, k),
+            static_argnums=0)
+        sky_at_band = jax.jit(lambda s, a: sky_signal(s, plan, a))
+        tkey0 = jax.random.fold_in(key, 772)
+        _tod_burnin(tod_blocks, tod_step, sky_at_band(sys, state.a), tkey0)
+        status.update(f"tod init: {len(tod_blocks)} bands (burned in)")
+
+    chisq_fn = jax.jit(lambda s, a: compute_chisq(s, plan, a)[0])
+    step = jax.jit(lambda s, st: gibbs.gibbs_step(gcfg, s, plan, st))
+    tkey = jax.random.fold_in(key, 991)
 
     for it in range(first + 1, niter + 1):
+        # --- TOD step per band: gain/ncorr/PSD + new map and rms
+        # (process_TOD, commander.f90:274-399) ---
+        if tod_blocks:
+            timer.start("tod")
+            sky_bands = sky_at_band(sys, state.a)
+            new_data = np.array(np.asarray(sys.data))
+            with np.errstate(divide="ignore"):
+                new_rms = np.array(1.0 / np.maximum(np.asarray(sys.inv_rms),
+                                                    1e-30))
+            for b, (tcfg, block, tstate) in tod_blocks.items():
+                tkey, k = jax.random.split(tkey)
+                tstate, prod = tod_step(tcfg, block, tstate, sky_bands[b], k)
+                tod_blocks[b] = (tcfg, block, tstate)
+                hit = np.asarray(prod["rms"][0]) > 0
+                new_data[b, 0, hit] = np.asarray(prod["map"][0])[hit]
+                new_rms[b, 0, hit] = np.asarray(prod["rms"][0])[hit]
+                new_rms[b, 0, ~hit] = 0.0
+            good = new_rms > 0
+            safe = np.where(good, new_rms, 1.0)
+            sys = dataclasses.replace(
+                sys, data=jnp.asarray(new_data),
+                inv_rms=jnp.asarray(np.where(good, 1.0 / safe, 0.0)),
+                inv_rms2=jnp.asarray(np.where(good, 1.0 / safe**2, 0.0)))
+            timer.stop("tod")
+            status.update(f"iter {it} tod done")
+
         timer.start("gibbs")
-        state = step(state)
+        state = step(sys, state)
         jax.block_until_ready(state.a)
         dt = timer.stop("gibbs")
-        chi2 = float(chisq_fn(state.a))
+        chi2 = float(chisq_fn(sys, state.a))
         status.update(f"iter {it} cg={int(state.cg_iters)} "
                       f"relres={float(state.cg_relres):.2e} chisq={chi2:.1f}")
         if verbose:
@@ -258,6 +343,8 @@ def main(argv=None):
     ap.add_argument("--niter", type=int, default=None)
     ap.add_argument("--synthetic", action="store_true",
                     help="simulate data from the prior model")
+    ap.add_argument("--tod", action="store_true",
+                    help="run the TOD layer (synthetic TOD per TOD band)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--f32", action="store_true", help="float32 (TPU native)")
@@ -272,7 +359,7 @@ def main(argv=None):
 
     cfg = lower_params(Params.load(args.paramfile))
     run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
-        niter=args.niter, outdir=args.outdir, dtype=dtype)
+        niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod)
 
 
 if __name__ == "__main__":

@@ -36,7 +36,10 @@ class TodConfig:
     gain_smooth_window: int = 5
     alpha_grid: tuple = tuple(np.linspace(-2.5, -0.5, 32).tolist())
     fknee_grid: tuple = tuple(np.geomspace(0.01, 2.0, 32).tolist())
-    chisq_reject_sigma: float = 5.0
+    # generous by default: the per-scan chi^2 runs hot during the first
+    # Gibbs iterations while (sigma0, n_corr) burn in; the reference's
+    # accept flags likewise only drop catastrophic scans.
+    chisq_reject_sigma: float = 25.0
 
 
 def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
@@ -65,17 +68,22 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
     resid_orb = d_for_gain - gain[..., None] * s_sky
     g_abs = M.sample_abscal(k_a, resid_orb, s_orb, block.mask, state.sigma0)
 
-    # --- correlated noise ------------------------------------------------
+    # --- noise PSD first (order differs from the reference because our
+    # synthetic runs have no archive scalars to warm-start from):
+    # sigma0 from sample differences of the full residual — the difference
+    # operator suppresses the 1/f part, so this is ncorr-free; (alpha,
+    # fknee) from the residual periodogram whose model includes both the
+    # white and correlated parts.
     resid = block.tod - gain[..., None] * s_ref
-    n_corr = M.sample_ncorr(k_n, resid, block.mask, state.sigma0,
-                            state.alpha, state.fknee, block.fsamp)
-
-    # --- noise PSD -------------------------------------------------------
-    wn_resid = resid - n_corr
     sigma0, alpha, fknee = M.sample_noise_psd(
-        k_p, wn_resid, block.mask, block.fsamp,
+        k_p, resid, block.mask, block.fsamp,
         jnp.asarray(cfg.alpha_grid, resid.dtype),
         jnp.asarray(cfg.fknee_grid, resid.dtype))
+
+    # --- correlated noise with the fresh PSD -----------------------------
+    n_corr = M.sample_ncorr(k_n, resid, block.mask, sigma0, alpha, fknee,
+                            block.fsamp)
+    wn_resid = resid - n_corr
 
     # --- per-scan chi^2 and accept flags --------------------------------
     chi2 = jnp.sum(wn_resid**2 * block.mask, -1) / jnp.maximum(sigma0**2, 1e-30)

@@ -54,3 +54,15 @@ def test_fits_map_roundtrip(tmp_path):
     fitsio.write_map(path, m, nest=True)
     r2 = fitsio.read_map(path)
     np.testing.assert_allclose(r2, m, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PARAM), reason="reference absent")
+def test_tod_integrated_loop(cfg, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("chains_tod"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=3,
+                            outdir=out, verbose=False, tod=True)
+    with ChainFile(chain_path, "r") as ch:
+        assert ch.last_sample() == 3
+        s = ch.read_sample(3)
+        assert np.isfinite(float(s["aux"]["chisq"]))
+        assert float(s["aux"]["chisq"]) > 0
