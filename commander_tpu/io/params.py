@@ -219,15 +219,12 @@ def lower_params(p: Params) -> RunConfig:
         indices = {}
         for name, defkey in _IND_KEYS.get(ctype, []):
             default = p.get_indexed(f"COMP_{defkey}", i)
-            pm = p.get_indexed(f"COMP_{name}_PRIOR_MEAN", i)
-            pr = p.get_indexed(f"COMP_{name}_PRIOR_RMS", i)
-            # note: prior GAUSS keys vary between versions; both checked
-            if pm is None:
-                pm = p.get_indexed(f"COMP_{name}_PRIOR_GAUSS_MEAN", i)
-            if pr is None:
-                pr = p.get_indexed(f"COMP_{name}_PRIOR_GAUSS_RMS", i)
-            lo = p.get_indexed(f"COMP_{name}_PRIOR_UNI_LOW", i)
-            hi = p.get_indexed(f"COMP_{name}_PRIOR_UNI_HIGH", i)
+            # reference key grammar: COMP_PRIOR_GAUSS_<NAME>_MEAN/RMS and
+            # COMP_PRIOR_UNI_<NAME>_LOW/HIGH (see param_tutorial.txt)
+            pm = p.get_indexed(f"COMP_PRIOR_GAUSS_{name}_MEAN", i)
+            pr = p.get_indexed(f"COMP_PRIOR_GAUSS_{name}_RMS", i)
+            lo = p.get_indexed(f"COMP_PRIOR_UNI_{name}_LOW", i)
+            hi = p.get_indexed(f"COMP_PRIOR_UNI_{name}_HIGH", i)
             indices[name.lower()] = dict(default=default, prior_mean=pm,
                                          prior_rms=pr, low=lo, high=hi)
         comps.append(ComponentParamConfig(

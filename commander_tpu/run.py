@@ -31,8 +31,10 @@ def _comp_to_diffuse(c):
                "freefree": "freefree", "spindust": "spindust",
                "spindust2": "spindust2", "physdust": "physdust",
                "line": "line", "curved_power_law": "curved_power_law"}
-    theta0 = tuple(v["default"] for v in c.indices.values()
-                   if v["default"] is not None)
+    # parameter-file units -> SED units (nu_p given in GHz in param files)
+    scale = {"nu_p": 1e9}
+    theta0 = tuple((v["default"] or 0.0) * scale.get(k, 1.0)
+                   for k, v in c.indices.items())
     return DiffuseComponent(
         name=c.label, sed=sed_map.get(c.ctype, "power_law"),
         nu_ref=c.nu_ref_t_ghz * GHZ, polarized=c.polarized,
@@ -148,7 +150,10 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     meta = {"nside": nside, "lmax": lmax,
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in cfg.bands]}
-    return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth
+    # pair each runtime diffuse component with its parameter-file config
+    pcfgs = [c for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
+             ("md", "cmb_relquad", "template")]
+    return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs
 
 
 def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
@@ -173,6 +178,60 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
             gain0=1.0, seed=seed + b)
         blocks[b] = (tcfg, block, init_tod_state(block))
     return blocks
+
+
+def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas):
+    """Fullsky spectral-index Gibbs step + mixing-matrix rebuild.
+
+    Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
+    updateMixmat per band (comm_diffuse_comp_mod.f90:1662). Round-1 scope:
+    one global theta per parameter (lmax_ind = 0 / fullsky sampler); the
+    per-pixel and region samplers in sampling/specind.py plug into the same
+    slot once per-pixel mixing enters the CG operator.
+    """
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+
+    from .model.mixing import mixing_matrix
+    from .sampling import specind as si
+    from .sampling.chisq import compute_residual
+    from .sphere import sht
+
+    changed = False
+    for ci, (pcfg, comp) in enumerate(zip(pcfgs, diffuse)):
+        names = list(pcfg.indices.keys())
+        for which, name in enumerate(names):
+            info = pcfg.indices[name]
+            u = 1e9 if name == "nu_p" else 1.0   # param-file GHz -> Hz
+            pm = None if info.get("prior_mean") is None else info["prior_mean"] * u
+            pr = None if info.get("prior_rms") is None else info["prior_rms"] * u
+            lo = None if info.get("low") is None else info["low"] * u
+            hi = None if info.get("high") is None else info["high"] * u
+            if lo is None or hi is None:
+                if pm is not None and pr:
+                    lo, hi = pm - 5 * pr, pm + 5 * pr
+                else:
+                    d = thetas[ci][which]
+                    lo, hi = d - 0.5 * abs(d) - 0.1, d + 0.5 * abs(d) + 0.1
+            sicfg = si.SpecIndConfig(grid_min=float(lo), grid_max=float(hi),
+                                     ngrid=96, prior_mean=pm,
+                                     prior_std=pr if pr else None)
+            key, k = jax.random.split(key)
+            res = compute_residual(sys, plan, state.a, exclude=ci)
+            amp_pix = sht.alm2map(plan, state.a[ci])
+            th = si.sample_specind_fullsky(k, comp, bps, sicfg, res, amp_pix,
+                                           sys.inv_rms2,
+                                           tuple(thetas[ci]), which=which)
+            thetas[ci] = tuple(float(th) if j == which else t
+                               for j, t in enumerate(thetas[ci]))
+            changed = True
+    if changed:
+        F = mixing_matrix(diffuse, bps, thetas=thetas)
+        if F.ndim == 2:
+            F = F[..., None].repeat(sys.F.shape[-1], axis=-1)
+        sys = dc.replace(sys, F=jnp.asarray(F, sys.data.dtype))
+    return key, sys, thetas
 
 
 def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
@@ -210,7 +269,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     status.update("init start")
 
     timer.start("init")
-    plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth = build_model(
+    plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs = build_model(
         cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
                              cg_maxiter=cfg.cg_maxiter,
@@ -270,6 +329,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     chisq_fn = jax.jit(lambda s, a: compute_chisq(s, plan, a)[0])
     step = jax.jit(lambda s, st: gibbs.gibbs_step(gcfg, s, plan, st))
     tkey = jax.random.fold_in(key, 991)
+    skey = jax.random.fold_in(key, 552)
+    thetas = [tuple(d.theta0) for d in diffuse]
+    gains = np.ones(len(cfg.bands))
 
     for it in range(first + 1, niter + 1):
         # --- TOD step per band: gain/ncorr/PSD + new map and rms
@@ -302,6 +364,27 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         state = step(sys, state)
         jax.block_until_ready(state.a)
         dt = timer.stop("gibbs")
+
+        # --- nonlinear (spectral index) step + mixing update
+        # (sample_nonlin_params, comm_nonlin_mod.f90:92) ---
+        if cfg.sample_specind:
+            timer.start("specind")
+            skey, sys, thetas = _specind_step(skey, cfg, pcfgs, diffuse, bps,
+                                              sys, plan, state, thetas)
+            timer.stop("specind")
+
+        # --- map-level gain sampling (comm_gain_mod.f90:29) ---
+        if any(b.sample_gain for b in cfg.bands):
+            from .sampling.gain import sample_gain as _sg
+            skey, gk = jax.random.split(skey)
+            s_b = sky_at_band(sys, state.a) if tod_blocks else \
+                jax.jit(lambda s, a: sky_signal(s, plan, a))(sys, state.a)
+            g = np.asarray(_sg(gk, sys.data, s_b, sys.inv_rms2,
+                               prior_mean=1.0, prior_std=0.1))
+            for b, band in enumerate(cfg.bands):
+                if band.sample_gain:
+                    gains[b] = g[b]
+
         chi2 = float(chisq_fn(sys, state.a))
         status.update(f"iter {it} cg={int(state.cg_iters)} "
                       f"relres={float(state.cg_relres):.2e} chisq={chi2:.1f}")
@@ -318,9 +401,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             dl_fac = ell * (ell + 1) / (2 * np.pi)
             comps_out = {
                 d.name: {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
-                         "sigma_l": None}
+                         "specind": np.asarray(thetas[i], np.float64)}
                 for i, d in enumerate(diffuse)}
-            ch.write_sample(it, comps_out,
+            ch.write_sample(it, comps_out, gains=gains,
                             extra={"chisq": chi2,
                                    "cg_iters": int(state.cg_iters)})
             timer.stop("output")
