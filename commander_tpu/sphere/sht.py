@@ -104,8 +104,13 @@ def _chirp_powers(n: np.ndarray, k2: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False,
-             dtype: str = "float64", weights: str = "ring") -> SHTPlan:
-    """Build (host) and cache the SHT plan for one resolution."""
+             dtype: str = "float64", weights: str = "ring",
+             tables: bool = True) -> SHTPlan:
+    """Build (host) and cache the SHT plan for one resolution.
+
+    tables=False skips the precomputed Legendre tables (lam0/lam_p2/lam_m2
+    are None) — used by the on-the-fly transforms (sht_otf) that only need
+    the ring/Bluestein machinery of the plan."""
     if mmax is None:
         mmax = lmax
     rdtype = jnp.dtype(dtype)
@@ -113,8 +118,10 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     g = healpix.ring_geometry(nside)
     nring, pmax, nm = g.nring, 4 * nside, mmax + 1
 
-    lam0_np, _ = spin_lambda_north(nside, lmax, 0, mmax)
-    if spin2:
+    lam0_np = None
+    if tables:
+        lam0_np, _ = spin_lambda_north(nside, lmax, 0, mmax)
+    if spin2 and tables:
         lam_p2_np, lam_m2_np = spin_lambda_north(nside, lmax, 2, mmax)
     ll = np.arange(lmax + 1)[:, None]
     mm = np.arange(mmax + 1)[None, :]
@@ -165,9 +172,9 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     devc = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(cdtype)))
     return SHTPlan(
         nside=nside, lmax=lmax, mmax=mmax, rdtype=rdtype, cdtype=cdtype,
-        lam0=dev(lam0_np),
-        lam_p2=dev(lam_p2_np) if spin2 else None,
-        lam_m2=dev(lam_m2_np) if spin2 else None,
+        lam0=dev(lam0_np) if tables else None,
+        lam_p2=dev(lam_p2_np) if (spin2 and tables) else None,
+        lam_m2=dev(lam_m2_np) if (spin2 and tables) else None,
         parity=dev(parity), lmmask=dev(tri),
         synth_A=devc(synth_A), synth_Vh=devc(synth_Vh), synth_B=devc(synth_B),
         ana_A=devc(ana_A), ana_Vh=devc(ana_Vh), ana_B=devc(ana_B),

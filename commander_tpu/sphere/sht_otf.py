@@ -1,0 +1,260 @@
+"""On-the-fly SHT for large lmax: chunked Legendre recurrence + block matmul.
+
+The table-based transforms (sht.py) store Lambda (nh, nl, nm) — 34 GB at
+nside 1024 / lmax 2048 in f32, beyond a single chip's HBM. Here the
+Legendre functions are regenerated on the fly, the way libsharp does on
+CPU, but structured for TPU:
+
+  * the three-term l-recurrence runs on the VPU in chunks of L ells,
+    materializing a (L, nh, nm) Lambda block in VMEM/HBM-transient space;
+  * each block immediately contracts with the alm chunk as a batched
+    matmul (MXU) and is discarded — peak memory O(L nh nm);
+  * float32 safety: the recurrence carries a per-(ring, m) block exponent
+    (values below 2^-30-ish are held scaled; contributions only count once
+    the exponent reaches zero), the same scaling strategy as the host
+    table builder (wigner.py) and libsharp.
+
+One code path serves synthesis and adjoint for any (spin -> mp) via the
+generic d^l_{m,mp} recurrence; spin-0 uses mp=0.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import healpix
+from .sht import SHTPlan, get_plan, ring_synthesis, ring_analysis, \
+    _gather_pix, _pad_to_rings
+
+_SCALE_POW = 30  # rescale granularity 2^30 (f32-safe)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["seed_mant", "seed_exp", "A", "Bc", "beta", "x", "norm",
+                 "parity_m"],
+    meta_fields=["lmax", "mmax", "mp", "chunk"],
+)
+@dataclasses.dataclass(frozen=True)
+class LegendreOTF:
+    """Recurrence data for d^l_{m,mp} on the northern rings."""
+    seed_mant: jax.Array   # (nh, nm) seed mantissa at l0(m)
+    seed_exp: jax.Array    # (nh, nm) int32 block exponent (<= 0)
+    A: jax.Array           # (nl, nm) recurrence alpha = A*x + Bc
+    Bc: jax.Array          # (nl, nm)
+    beta: jax.Array        # (nl, nm)
+    x: jax.Array           # (nh,) cos(theta)
+    norm: jax.Array        # (nl,) sqrt((2l+1)/4pi)
+    parity_m: jax.Array    # (nm,) (-1)^m
+    lmax: int
+    mmax: int
+    mp: int
+    chunk: int
+
+
+@functools.lru_cache(maxsize=None)
+def legendre_otf(nside: int, lmax: int, mp: int, dtype: str = "float32",
+                 chunk: int = 64, mmax: int | None = None) -> LegendreOTF:
+    from scipy.special import gammaln
+
+    if mmax is None:
+        mmax = lmax
+    nm = mmax + 1
+    g = healpix.ring_geometry(nside)
+    nh = 2 * nside
+    th = g.theta[:nh]
+    cth2, sth2 = np.cos(th / 2.0), np.sin(th / 2.0)
+    m = np.arange(nm, dtype=np.float64)[None, :]
+    amp = abs(mp)
+
+    with np.errstate(divide="ignore"):
+        lc, ls = np.log(cth2)[:, None], np.log(sth2)[:, None]
+    hi = m >= amp
+    logc_hi = 0.5 * (gammaln(2 * m + 1) - gammaln(m + mp + 1)
+                     - gammaln(m - mp + 1))
+    logv_hi = logc_hi + (m + mp) * lc + (m - mp) * ls
+    sign_hi = np.broadcast_to((-1.0) ** (m - mp), logv_hi.shape)
+    logc_lo = 0.5 * (gammaln(2 * amp + 1) - gammaln(amp + m + 1)
+                     - gammaln(amp - m + 1))
+    if mp > 0:
+        logv_lo = logc_lo + (mp + m) * lc + (mp - m) * ls
+        sign_lo = np.ones_like(logv_hi)
+    else:
+        logv_lo = logc_lo + (amp - m) * lc + (amp + m) * ls
+        sign_lo = np.broadcast_to((-1.0) ** (amp + m), logv_hi.shape)
+    logv = np.where(hi, logv_hi, logv_lo)
+    sign = np.where(hi, sign_hi, sign_lo)
+    lbig = _SCALE_POW * np.log(2.0)
+    # mantissa normalized into (2^-30, 1]: exp = ceil(logv / lbig) so that
+    # representable seeds sit at exp == 0 (the emit gate)
+    seed_exp = np.minimum(np.ceil(logv / lbig), 0.0)
+    seed_mant = sign * np.exp(logv - seed_exp * lbig)
+    bad = ~np.isfinite(logv)
+    seed_mant[bad] = 0.0
+    seed_exp[bad] = -128.0
+
+    ell = np.arange(lmax + 1, dtype=np.float64)[:, None]
+    wl1 = np.sqrt(np.maximum(((ell + 1) ** 2 - m**2)
+                             * ((ell + 1) ** 2 - mp**2), 0.0)) / (ell + 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        wl = np.where(ell > 0,
+                      np.sqrt(np.maximum((ell**2 - m**2) * (ell**2 - mp**2),
+                                         0.0)) / np.maximum(ell, 1), 0.0)
+        A = (2 * ell + 1) / wl1
+        Bc = -(2 * ell + 1) * (m * mp) / np.maximum(ell * (ell + 1), 1) / wl1
+        beta = wl / wl1
+    for arr in (A, Bc, beta):
+        arr[~np.isfinite(arr)] = 0.0
+
+    npdt = np.float32 if dtype == "float32" else np.float64
+    cast = lambda a: jnp.asarray(np.asarray(a, npdt))
+    return LegendreOTF(
+        seed_mant=cast(seed_mant), seed_exp=jnp.asarray(seed_exp.astype(np.int32)),
+        A=cast(A), Bc=cast(Bc), beta=cast(beta),
+        x=cast(g.z[:nh]),
+        norm=cast(np.sqrt((2 * ell[:, 0] + 1) / (4 * np.pi))),
+        parity_m=cast((-1.0) ** np.arange(nm)),
+        lmax=lmax, mmax=mmax, mp=mp, chunk=chunk)
+
+
+def _lam_chunks_scan(otf: LegendreOTF, body_per_chunk, init_extra):
+    """Run `body_per_chunk(l0, lam_block, extra) -> extra` over all chunks.
+
+    lam_block: (L, nh, nm) emitted Legendre values (zero where not yet
+    seeded / underflowed), with the norm factor applied.
+    """
+    L = otf.chunk
+    nl = otf.lmax + 1
+    nchunks = (nl + L - 1) // L
+    nh, nm = otf.seed_mant.shape
+    dt = otf.seed_mant.dtype
+    mm = jnp.arange(nm, dtype=jnp.int32)
+    big = jnp.asarray(2.0 ** _SCALE_POW, dt)
+    bigi = jnp.asarray(2.0 ** -_SCALE_POW, dt)
+
+    def step(carry, l):
+        prev, prev_e, cur, cur_e = carry
+        start = (jnp.maximum(mm, abs(otf.mp)) == l)
+        cur = jnp.where(start, otf.seed_mant, cur)
+        cur_e = jnp.where(start, otf.seed_exp, cur_e)
+        prev = jnp.where(start, 0.0, prev)
+        prev_e = jnp.where(start, 0, prev_e)
+        emit = jnp.where(cur_e == 0, cur,
+                         jnp.where(cur_e == -1, cur * bigi, 0.0))
+        # recurrence l -> l+1
+        alpha = otf.A[l] * otf.x[:, None] + otf.Bc[l]
+        de = prev_e - cur_e
+        sc = jnp.where(de == 0, 1.0, jnp.where(de <= -1, bigi, big)).astype(dt)
+        sc = jnp.where(de <= -2, 0.0, sc)
+        new = alpha * cur - otf.beta[l] * prev * sc
+        grow = jnp.abs(new) > big
+        new = jnp.where(grow, new * bigi, new)
+        cur_scaled = jnp.where(grow, cur * bigi, cur)
+        new_e = cur_e + grow.astype(jnp.int32)
+        return (cur_scaled, cur_e, new, new_e), emit
+
+    carry = (jnp.zeros((nh, nm), dt), jnp.zeros((nh, nm), jnp.int32),
+             jnp.zeros((nh, nm), dt), jnp.full((nh, nm), -128, jnp.int32))
+
+    extra = init_extra
+    for c in range(nchunks):
+        l0 = c * L
+        ls = jnp.arange(l0, l0 + L, dtype=jnp.int32)
+        carry, emits = jax.lax.scan(step, carry, ls)
+        # apply normalization for these ells; ells beyond lmax emit zeros
+        valid = (ls <= otf.lmax)[:, None, None]
+        lam = emits * otf.norm[jnp.clip(ls, 0, otf.lmax)][:, None, None] * valid
+        extra = body_per_chunk(l0, lam, extra)
+    return extra
+
+
+def synth_legendre_otf(otf: LegendreOTF, otf_neg: LegendreOTF | None,
+                       alm: jnp.ndarray, nh: int):
+    """alm (..., nl, nm) complex -> (F_north (..., nh, nm), F_south)."""
+    L = otf.chunk
+    nl = otf.lmax + 1
+    batch = alm.shape[:-2]
+    nm = otf.mmax + 1
+    cdt = alm.dtype
+    Fe = jnp.zeros(batch + (nh, nm), cdt)
+    Fo = jnp.zeros(batch + (nh, nm), cdt)
+    # pad alm chunks to L
+    pad_l = (-nl) % L
+    a_pad = jnp.pad(alm, [(0, 0)] * (alm.ndim - 2) + [(0, pad_l), (0, 0)])
+    parl = (-1.0) ** jnp.arange(nl + pad_l)
+
+    def body(l0, lam, FeFo):
+        Fe, Fo = FeFo
+        a_c = jax.lax.dynamic_slice_in_dim(a_pad, l0, L, axis=-2)
+        sign_l = jax.lax.dynamic_slice_in_dim(parl, l0, L)
+        # (l+m) parity: (-1)^(l+m) = (-1)^l (-1)^m
+        even = 0.5 * (1.0 + sign_l[:, None] * otf.parity_m[None, :])
+        contr = lambda w: jnp.einsum("...lm,lrm->...rm", a_c * w, lam)
+        Fe = Fe + contr(even)
+        Fo = Fo + contr(1.0 - even)
+        return (Fe, Fo)
+
+    Fe, Fo = _lam_chunks_scan(otf, body, (Fe, Fo))
+    # lambda(pi-theta) = (-1)^(l+m) lambda(theta) for mp=0 (spin 0):
+    # even-(l+m) terms keep sign, odd terms flip.
+    F_n = Fe + Fo
+    F_s = Fe - Fo
+    return F_n, F_s
+
+
+def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
+    """(F_north, F_south rows at theta_r) -> alm (..., nl, nm)."""
+    L = otf.chunk
+    nl = otf.lmax + 1
+    pad_l = (-nl) % L
+    batch = F_n.shape[:-2]
+    nm = otf.mmax + 1
+    Ge = F_n + F_s            # couples to even (l+m) terms
+    Go = F_n - F_s
+    parl = (-1.0) ** jnp.arange(nl + pad_l)
+    out = jnp.zeros(batch + (nl + pad_l, nm), F_n.dtype)
+
+    def body(l0, lam, out):
+        sign_l = jax.lax.dynamic_slice_in_dim(parl, l0, L)
+        even = 0.5 * (1.0 + sign_l[:, None] * otf.parity_m[None, :])
+        a_e = jnp.einsum("...rm,lrm->...lm", Ge, lam) * even
+        a_o = jnp.einsum("...rm,lrm->...lm", Go, lam) * (1.0 - even)
+        cur = jax.lax.dynamic_slice_in_dim(out, l0, L, axis=-2)
+        return jax.lax.dynamic_update_slice_in_dim(out, cur + a_e + a_o,
+                                                   l0, axis=-2)
+
+    out = _lam_chunks_scan(otf, body, out)
+    return out[..., :nl, :]
+
+
+# ---------------------------------------------------------------------------
+# Public transforms (spin 0)
+# ---------------------------------------------------------------------------
+
+def alm2map_otf(plan: SHTPlan, otf: LegendreOTF, alm: jnp.ndarray):
+    """Y without tables: same semantics as sht.alm2map."""
+    alm = alm.astype(plan.cdtype)
+    F_n, F_s = synth_legendre_otf(otf, None, alm, plan.nh)
+    south = jnp.flip(F_s[..., : plan.nh - 1, :], axis=-2)
+    F = jnp.concatenate([F_n, south], axis=-2)
+    scale = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((plan.mmax,))]
+                            ).astype(plan.rdtype)
+    f = ring_synthesis(plan, F * scale)
+    return _gather_pix(plan, f.real.astype(plan.rdtype))
+
+
+def map2alm_otf(plan: SHTPlan, otf: LegendreOTF, maps: jnp.ndarray):
+    """YtW without tables: same semantics as sht.map2alm."""
+    w = plan.ring_weight
+    fpad = _pad_to_rings(plan, maps) * w[:, None]
+    F = ring_analysis(plan, fpad.astype(plan.cdtype))
+    F_n = F[..., : plan.nh, :]
+    F_s = jnp.flip(F[..., plan.nh:, :], axis=-2)
+    pad = plan.nh - 1 - F_s.shape[-2]
+    F_s = jnp.pad(F_s, [(0, 0)] * (F_s.ndim - 2) + [(0, pad + 1), (0, 0)])
+    return adjoint_legendre_otf(otf, F_n, F_s)
