@@ -124,6 +124,31 @@ def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
     return (ssum / 2.0) / g
 
 
+def sample_cl_powerlaw_amp(key, cfg: ClModelConfig, alm: jnp.ndarray,
+                           beta: jnp.ndarray, lmin: int = 2):
+    """Conditional amplitude draw for the power_law/exp/gauss Cl models
+    (comm_Cl_mod.f90:1251-1266): with Cl = amp * g_l(beta), the conditional
+    P(amp | a) is inverse-gamma with
+      shape = (sum_l (2l+1) - 2)/2,  scale = sum_lm eps|a_lm|^2 / g_l / 2.
+    Returns (nmaps,) amp draws."""
+    ell = jnp.arange(cfg.lmax + 1, dtype=jnp.result_type(float))
+    x = jnp.maximum(ell, 1.0) / cfg.ell_pivot
+    if cfg.kind == "power_law":
+        shape_l = x ** beta[:, None]
+    elif cfg.kind == "exp":
+        shape_l = jnp.exp(beta[:, None] * x)
+    else:
+        shape_l = jnp.exp(-0.5 * (x * beta[:, None]) ** 2)
+    g_l = 2.0 * jnp.pi * shape_l / jnp.maximum(ell * (ell + 1.0), 1.0)
+    sig = sigma_ell(alm, cfg.lmax)                   # (nmaps, nl)
+    wl = (2.0 * ell + 1.0) * (ell >= lmin)
+    scale = jnp.sum(wl * sig / jnp.maximum(g_l, 1e-300), axis=-1) / 2.0
+    ndof = jnp.sum(wl)
+    sh = jnp.maximum((ndof - 2.0) / 2.0, 0.5)
+    g = jax.random.gamma(key, jnp.broadcast_to(sh, scale.shape))
+    return scale / g
+
+
 def wishart_dof_check(cfg: ClModelConfig) -> np.ndarray:
     """Modes per bin (for posdef/ok checks mirroring comm_Cl_mod:946-979)."""
     idx = bin_index_table(cfg)

@@ -122,113 +122,127 @@ def legendre_otf(nside: int, lmax: int, mp: int, dtype: str = "float32",
         lmax=lmax, mmax=mmax, mp=mp, chunk=chunk)
 
 
-def _lam_chunks_scan(otf: LegendreOTF, body_per_chunk, init_extra):
-    """Run `body_per_chunk(l0, lam_block, extra) -> extra` over all chunks.
-
-    lam_block: (L, nh, nm) emitted Legendre values (zero where not yet
-    seeded / underflowed), with the norm factor applied.
-    """
-    L = otf.chunk
-    nl = otf.lmax + 1
-    nchunks = (nl + L - 1) // L
-    nh, nm = otf.seed_mant.shape
+def _rec_step(otf: LegendreOTF, carry, l):
+    """One l-step of the scaled recurrence; emits normalized lambda row."""
     dt = otf.seed_mant.dtype
+    nm = otf.mmax + 1
     mm = jnp.arange(nm, dtype=jnp.int32)
     big = jnp.asarray(2.0 ** _SCALE_POW, dt)
     bigi = jnp.asarray(2.0 ** -_SCALE_POW, dt)
+    prev, prev_e, cur, cur_e = carry
+    start = (jnp.maximum(mm, abs(otf.mp)) == l)
+    cur = jnp.where(start, otf.seed_mant, cur)
+    cur_e = jnp.where(start, otf.seed_exp, cur_e)
+    prev = jnp.where(start, 0.0, prev)
+    prev_e = jnp.where(start, 0, prev_e)
+    emit = jnp.where(cur_e == 0, cur,
+                     jnp.where(cur_e == -1, cur * bigi, 0.0))
+    lc = jnp.clip(l, 0, otf.lmax)
+    valid = (l <= otf.lmax).astype(dt)
+    emit = emit * otf.norm[lc] * valid
+    # recurrence l -> l+1
+    alpha = otf.A[lc] * otf.x[:, None] + otf.Bc[lc]
+    de = prev_e - cur_e
+    sc = jnp.where(de == 0, 1.0, jnp.where(de <= -1, bigi, big)).astype(dt)
+    sc = jnp.where(de <= -2, 0.0, sc)
+    new = alpha * cur - otf.beta[lc] * prev * sc
+    grow = jnp.abs(new) > big
+    new = jnp.where(grow, new * bigi, new)
+    cur_scaled = jnp.where(grow, cur * bigi, cur)
+    new_e = cur_e + grow.astype(jnp.int32)
+    return (cur_scaled, cur_e, new, new_e), emit
 
-    def step(carry, l):
-        prev, prev_e, cur, cur_e = carry
-        start = (jnp.maximum(mm, abs(otf.mp)) == l)
-        cur = jnp.where(start, otf.seed_mant, cur)
-        cur_e = jnp.where(start, otf.seed_exp, cur_e)
-        prev = jnp.where(start, 0.0, prev)
-        prev_e = jnp.where(start, 0, prev_e)
-        emit = jnp.where(cur_e == 0, cur,
-                         jnp.where(cur_e == -1, cur * bigi, 0.0))
-        # recurrence l -> l+1
-        alpha = otf.A[l] * otf.x[:, None] + otf.Bc[l]
-        de = prev_e - cur_e
-        sc = jnp.where(de == 0, 1.0, jnp.where(de <= -1, bigi, big)).astype(dt)
-        sc = jnp.where(de <= -2, 0.0, sc)
-        new = alpha * cur - otf.beta[l] * prev * sc
-        grow = jnp.abs(new) > big
-        new = jnp.where(grow, new * bigi, new)
-        cur_scaled = jnp.where(grow, cur * bigi, cur)
-        new_e = cur_e + grow.astype(jnp.int32)
-        return (cur_scaled, cur_e, new, new_e), emit
 
-    carry = (jnp.zeros((nh, nm), dt), jnp.zeros((nh, nm), jnp.int32),
-             jnp.zeros((nh, nm), dt), jnp.full((nh, nm), -128, jnp.int32))
+def _init_rec_carry(otf: LegendreOTF):
+    nh, nm = otf.seed_mant.shape
+    dt = otf.seed_mant.dtype
+    return (jnp.zeros((nh, nm), dt), jnp.zeros((nh, nm), jnp.int32),
+            jnp.zeros((nh, nm), dt), jnp.full((nh, nm), -128, jnp.int32))
 
+
+def _lam_chunks_scan(otf: LegendreOTF, body_per_chunk, init_extra):
+    """Eager helper (tests): run body_per_chunk(l0, lam_block, extra)."""
+    L = otf.chunk
+    nl = otf.lmax + 1
+    nchunks = (nl + L - 1) // L
+    carry = _init_rec_carry(otf)
     extra = init_extra
     for c in range(nchunks):
-        l0 = c * L
-        ls = jnp.arange(l0, l0 + L, dtype=jnp.int32)
-        carry, emits = jax.lax.scan(step, carry, ls)
-        # apply normalization for these ells; ells beyond lmax emit zeros
-        valid = (ls <= otf.lmax)[:, None, None]
-        lam = emits * otf.norm[jnp.clip(ls, 0, otf.lmax)][:, None, None] * valid
-        extra = body_per_chunk(l0, lam, extra)
+        ls = jnp.arange(c * L, (c + 1) * L, dtype=jnp.int32)
+        carry, lam = jax.lax.scan(partial(_rec_step, otf), carry, ls)
+        extra = body_per_chunk(c * L, lam, extra)
     return extra
 
 
-def synth_legendre_otf(otf: LegendreOTF, otf_neg: LegendreOTF | None,
-                       alm: jnp.ndarray, nh: int):
-    """alm (..., nl, nm) complex -> (F_north (..., nh, nm), F_south)."""
+def _chunk_axes(otf: LegendreOTF, ndim_batch: int):
+    """(nchunks, L, pad_l, parity weights builder) shared by both passes."""
     L = otf.chunk
     nl = otf.lmax + 1
+    pad_l = (-nl) % L
+    nchunks = (nl + pad_l) // L
+    return L, nl, pad_l, nchunks
+
+
+def _even_weights(otf: LegendreOTF, ls: jnp.ndarray):
+    """(L, nm) weight of the even-(l+m) subspace for the given ells."""
+    sign_l = (-1.0) ** ls.astype(otf.seed_mant.dtype)
+    return 0.5 * (1.0 + sign_l[:, None] * otf.parity_m[None, :])
+
+
+def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
+    """alm (..., nl, nm) complex -> (F_north (..., nh, nm), F_south).
+
+    One lax.scan over l-chunks: the chunk body regenerates a (L, nh, nm)
+    Lambda block by recurrence and contracts it with the alm chunk (two
+    einsums for the two (l+m)-parity subspaces). Compiles once regardless
+    of lmax."""
+    L, nl, pad_l, nchunks = _chunk_axes(otf, alm.ndim - 2)
     batch = alm.shape[:-2]
     nm = otf.mmax + 1
     cdt = alm.dtype
-    Fe = jnp.zeros(batch + (nh, nm), cdt)
-    Fo = jnp.zeros(batch + (nh, nm), cdt)
-    # pad alm chunks to L
-    pad_l = (-nl) % L
     a_pad = jnp.pad(alm, [(0, 0)] * (alm.ndim - 2) + [(0, pad_l), (0, 0)])
-    parl = (-1.0) ** jnp.arange(nl + pad_l)
+    # chunk axis leading for scan xs
+    a_chunks = jnp.moveaxis(
+        a_pad.reshape(*batch, nchunks, L, nm), -3, 0)
 
-    def body(l0, lam, FeFo):
-        Fe, Fo = FeFo
-        a_c = jax.lax.dynamic_slice_in_dim(a_pad, l0, L, axis=-2)
-        sign_l = jax.lax.dynamic_slice_in_dim(parl, l0, L)
-        # (l+m) parity: (-1)^(l+m) = (-1)^l (-1)^m
-        even = 0.5 * (1.0 + sign_l[:, None] * otf.parity_m[None, :])
-        contr = lambda w: jnp.einsum("...lm,lrm->...rm", a_c * w, lam)
-        Fe = Fe + contr(even)
-        Fo = Fo + contr(1.0 - even)
-        return (Fe, Fo)
+    def chunk_body(carry, xs):
+        rec, Fe, Fo = carry
+        a_c, l0 = xs
+        ls = l0 + jnp.arange(L, dtype=jnp.int32)
+        rec, lam = jax.lax.scan(partial(_rec_step, otf), rec, ls)
+        even = _even_weights(otf, ls)
+        Fe = Fe + jnp.einsum("...lm,lrm->...rm", a_c * even, lam)
+        Fo = Fo + jnp.einsum("...lm,lrm->...rm", a_c * (1.0 - even), lam)
+        return (rec, Fe, Fo), None
 
-    Fe, Fo = _lam_chunks_scan(otf, body, (Fe, Fo))
-    # lambda(pi-theta) = (-1)^(l+m) lambda(theta) for mp=0 (spin 0):
-    # even-(l+m) terms keep sign, odd terms flip.
-    F_n = Fe + Fo
-    F_s = Fe - Fo
-    return F_n, F_s
+    Fe0 = jnp.zeros(batch + (nh, nm), cdt)
+    l0s = jnp.arange(nchunks, dtype=jnp.int32) * L
+    (rec, Fe, Fo), _ = jax.lax.scan(
+        chunk_body, (_init_rec_carry(otf), Fe0, Fe0), (a_chunks, l0s))
+    # lambda(pi-theta) = (-1)^(l+m) lambda(theta) for mp=0 (spin 0)
+    return Fe + Fo, Fe - Fo
 
 
 def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
     """(F_north, F_south rows at theta_r) -> alm (..., nl, nm)."""
-    L = otf.chunk
-    nl = otf.lmax + 1
-    pad_l = (-nl) % L
+    L, nl, pad_l, nchunks = _chunk_axes(otf, F_n.ndim - 2)
     batch = F_n.shape[:-2]
     nm = otf.mmax + 1
     Ge = F_n + F_s            # couples to even (l+m) terms
     Go = F_n - F_s
-    parl = (-1.0) ** jnp.arange(nl + pad_l)
-    out = jnp.zeros(batch + (nl + pad_l, nm), F_n.dtype)
 
-    def body(l0, lam, out):
-        sign_l = jax.lax.dynamic_slice_in_dim(parl, l0, L)
-        even = 0.5 * (1.0 + sign_l[:, None] * otf.parity_m[None, :])
+    def chunk_body(rec, l0):
+        ls = l0 + jnp.arange(L, dtype=jnp.int32)
+        rec, lam = jax.lax.scan(partial(_rec_step, otf), rec, ls)
+        even = _even_weights(otf, ls)
         a_e = jnp.einsum("...rm,lrm->...lm", Ge, lam) * even
         a_o = jnp.einsum("...rm,lrm->...lm", Go, lam) * (1.0 - even)
-        cur = jax.lax.dynamic_slice_in_dim(out, l0, L, axis=-2)
-        return jax.lax.dynamic_update_slice_in_dim(out, cur + a_e + a_o,
-                                                   l0, axis=-2)
+        return rec, a_e + a_o
 
-    out = _lam_chunks_scan(otf, body, out)
+    l0s = jnp.arange(nchunks, dtype=jnp.int32) * L
+    rec, chunks = jax.lax.scan(chunk_body, _init_rec_carry(otf), l0s)
+    # chunks: (nchunks, ..., L, nm) -> (..., nl, nm)
+    out = jnp.moveaxis(chunks, 0, -3).reshape(*batch, nchunks * L, nm)
     return out[..., :nl, :]
 
 

@@ -1,0 +1,76 @@
+"""Numerics utilities: Powell minimizer, Wigner 3j, power-law Cl draws."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from commander_tpu.ops.powell import powell
+from commander_tpu.ops.wigner3j import wigner_3j, wigner_3j_series
+
+
+def test_powell_rosenbrock():
+    f = lambda x: (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+    x, fx, it = powell(f, [-1.2, 1.0], maxiter=200)
+    assert fx < 1e-8
+    np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-3)
+
+
+def test_powell_quadratic():
+    A = np.array([[3.0, 1.0], [1.0, 2.0]])
+    b = np.array([1.0, -2.0])
+    f = lambda x: 0.5 * x @ A @ x - b @ x
+    x, fx, _ = powell(f, [0.0, 0.0])
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), atol=1e-5)
+
+
+def test_wigner3j_known_values():
+    # (1 1 0; 0 0 0) = -1/sqrt(3)
+    assert abs(wigner_3j(1, 1, 0, 0, 0, 0) + 1 / np.sqrt(3)) < 1e-12
+    # (2 2 2; 0 0 0) = -sqrt(2/35)
+    assert abs(wigner_3j(2, 2, 2, 0, 0, 0) + np.sqrt(2.0 / 35.0)) < 1e-12
+    # (2 0 2; 0 0 0) = 1/sqrt(5)
+    assert abs(wigner_3j(2, 0, 2, 0, 0, 0) - 1 / np.sqrt(5)) < 1e-12
+    # odd sum vanishes at m=0
+    assert wigner_3j(1, 1, 1, 0, 0, 0) == 0.0
+    # orthogonality: sum_l1 (2l1+1) 3j^2 = 1
+    lmin, w = wigner_3j_series(10, 7, 3, -2)
+    ells = np.arange(lmin, 18)
+    assert abs(np.sum((2 * ells + 1) * w**2) - 1.0) < 1e-10
+
+
+def test_wigner3j_vs_gaunt_symmetry():
+    # permutation symmetry of columns (even perms identical)
+    a = wigner_3j(6, 4, 5, 1, -3, 2)
+    b = wigner_3j(4, 5, 6, -3, 2, 1)
+    assert abs(a - b) < 1e-12
+
+
+def test_powerlaw_cl_amp_recovery():
+    from commander_tpu.model.cl import (ClModelConfig, cl_eval,
+                                        sample_cl_powerlaw_amp)
+    from commander_tpu.sphere.alm import random_alm_white, triangle_mask
+    from commander_tpu.model.cl import apply_sqrtS
+    lmax = 48
+    cfg = ClModelConfig(kind="power_law", lmax=lmax, nmaps=1, ell_pivot=10)
+    amp_true, beta_true = 250.0, -0.6
+    cl = cl_eval(cfg, {"amp": jnp.asarray([amp_true]),
+                       "beta": jnp.asarray([beta_true])})
+    key = jax.random.PRNGKey(0)
+    tri = jnp.asarray(triangle_mask(lmax + 1, lmax + 1))
+    a = apply_sqrtS(cl[None], random_alm_white(key, (1, 1, lmax + 1, lmax + 1))
+                    )[0] * tri
+    draws = [float(sample_cl_powerlaw_amp(jax.random.PRNGKey(s), cfg, a,
+                                          jnp.asarray([beta_true]))[0])
+             for s in range(24)]
+    m = np.mean(draws)
+    # posterior mean ~ amp_true within ~ 3 sigma/sqrt(n) (sigma ~ amp*sqrt(2/ndof))
+    assert abs(m / amp_true - 1.0) < 0.15, m
+
+
+def test_relquad_template():
+    from commander_tpu.model.relquad import relquad_template, solar_dipole_map
+    t = relquad_template(16, 100e9)
+    assert t.shape == (12 * 256,)
+    assert abs(t.mean()) < 1e-10              # pure quadrupole, no monopole
+    assert 0.1 < t.max() < 10.0               # ~ uK level
+    d = solar_dipole_map(16)
+    assert abs(d.max() - 3362.08) / 3362.08 < 0.01
