@@ -159,6 +159,8 @@ class RunConfig:
     cg_miniter: int
     output_dir: str
     thinning: int
+    output_chisq_map: bool
+    output_residual_maps: bool
     sample_amps: bool
     sample_specind: bool
     sample_powspec: bool
@@ -259,6 +261,8 @@ def lower_params(p: Params) -> RunConfig:
         cg_miniter=int(p.get("CG_MINITER", 0)),
         output_dir=str(p.get("OUTPUT_DIRECTORY", "./chains")),
         thinning=int(p.get("THINNING_FACTOR", 1)),
+        output_chisq_map=bool(p.get("OUTPUT_CHISQ_MAP", False)),
+        output_residual_maps=bool(p.get("OUTPUT_RESIDUAL_MAPS", False)),
         sample_amps=bool(p.get("SAMPLE_SIGNAL_AMPLITUDES", True)),
         sample_specind=bool(p.get("SAMPLE_SPECTRAL_INDICES", False)),
         sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),

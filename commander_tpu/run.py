@@ -395,6 +395,25 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             timer.start("output")
             a_np = np.asarray(jnp.stack([state.a.real, state.a.imag]))
             a_c = a_np[0] + 1j * a_np[1]
+            # per-sample FITS products (comm_output_mod output_FITS_sample;
+            # OUTPUT_CHISQ_MAP / OUTPUT_RESIDUAL_MAPS of the reference)
+            if cfg.output_chisq_map or cfg.output_residual_maps:
+                from .io import fits as fitsio
+                from .sampling.chisq import compute_chisq as _cc
+                _, cmap, _ = jax.jit(lambda s, a: _cc(s, plan, a))(sys, state.a)
+                if cfg.output_chisq_map:
+                    fitsio.write_map(
+                        os.path.join(outdir, f"chisq_k{it:06d}.fits"),
+                        np.asarray(cmap.sum(axis=0)), unit="chisq")
+                if cfg.output_residual_maps:
+                    res_b = np.asarray(sys.data) - np.asarray(
+                        sky_at_band(sys, state.a) if tod_blocks else
+                        jax.jit(lambda s, a: sky_signal(s, plan, a))(sys, state.a))
+                    for b, band in enumerate(cfg.bands):
+                        fitsio.write_map(
+                            os.path.join(outdir,
+                                         f"res_{band.label}_k{it:06d}.fits"),
+                            res_b[b], unit="uK")
             cl_now = np.asarray(jax.vmap(
                 lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(state.cl_bins))
             ell = np.arange(meta["lmax"] + 1)
