@@ -52,9 +52,34 @@ class AmplitudeSystem:
     cl: jnp.ndarray         # (C, S, nl) prior spectra
     data: jnp.ndarray       # (B, S, P) band maps
     tri: jnp.ndarray        # (nl, nm) triangle mask
+    # Optional WMAP-style QU pixel covariance (comm_N_QUcov_mod.f90):
+    # when set, the Q,U rows of invN use these 2x2 blocks instead of the
+    # diagonal (T stays diagonal).
+    inv_qu: jnp.ndarray | None = None        # (B, P, 2, 2)
+    sqrt_inv_qu: jnp.ndarray | None = None   # (B, P, 2, 2)
 
 
-def build_system(F, bl, rms, cl, data, mask=None) -> AmplitudeSystem:
+def apply_invN(sys: "AmplitudeSystem", m):
+    """N^-1 m with optional QU covariance blocks."""
+    out = m * sys.inv_rms2
+    if sys.inv_qu is not None:
+        msk = (sys.inv_rms2[:, 1:] > 0).astype(m.dtype)
+        qu = jnp.einsum("bpij,bjp->bip", sys.inv_qu, m[:, 1:] * msk)
+        out = jnp.concatenate([out[:, :1], qu * msk], axis=1)
+    return out
+
+
+def apply_sqrt_invN(sys: "AmplitudeSystem", m):
+    """N^-1/2 m with optional QU covariance blocks."""
+    out = m * sys.inv_rms
+    if sys.sqrt_inv_qu is not None:
+        msk = (sys.inv_rms[:, 1:] > 0).astype(m.dtype)
+        qu = jnp.einsum("bpij,bjp->bip", sys.sqrt_inv_qu, m[:, 1:] * msk)
+        out = jnp.concatenate([out[:, :1], qu * msk], axis=1)
+    return out
+
+
+def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None) -> AmplitudeSystem:
     F = jnp.asarray(F)
     if F.ndim == 2:
         F = F[..., None].repeat(data.shape[1], axis=-1)
@@ -65,9 +90,15 @@ def build_system(F, bl, rms, cl, data, mask=None) -> AmplitudeSystem:
     inv_rms = jnp.where(good, 1.0 / safe, 0.0)
     nl = bl.shape[-1]
     tri = jnp.asarray(triangle_mask(nl, nl))
+    inv_qu = sqrt_inv_qu = None
+    if cov_qu is not None:
+        inv_qu = jnp.linalg.inv(jnp.asarray(cov_qu))
+        chol = jnp.linalg.cholesky(inv_qu)
+        sqrt_inv_qu = jnp.swapaxes(chol, -1, -2)
     return AmplitudeSystem(F=F, bl=jnp.asarray(bl), inv_rms2=inv_rms**2,
                            inv_rms=inv_rms, cl=jnp.asarray(cl),
-                           data=jnp.asarray(data), tri=tri)
+                           data=jnp.asarray(data), tri=tri,
+                           inv_qu=inv_qu, sqrt_inv_qu=sqrt_inv_qu)
 
 
 def _sqrtS(sys: AmplitudeSystem, u):
@@ -109,7 +140,7 @@ def apply_A(sys: AmplitudeSystem, plan, u):
     a = _sqrtS(sys, u)
     alm_b = _project_bands(sys, plan, a)
     m = _synth(plan, alm_b)                      # batch (B, S)
-    m = m * sys.inv_rms2
+    m = apply_invN(sys, m)
     r_b = _synth_T(plan, m)
     r = _project_bands_T(sys, plan, r_b)
     return u + _sqrtS(sys, r)
@@ -122,11 +153,11 @@ def compute_rhs(sys: AmplitudeSystem, plan, key=None):
     as N^-1/2 eta1 added to the inverse-variance-weighted residual, eta2 as a
     white alm draw (:600-612, :689-766).
     """
-    w = sys.data * sys.inv_rms2
+    w = apply_invN(sys, sys.data)
     if key is not None:
         k1, k2 = jax.random.split(key)
         eta1 = jax.random.normal(k1, sys.data.shape, sys.data.dtype)
-        w = w + eta1 * sys.inv_rms
+        w = w + apply_sqrt_invN(sys, eta1)
     r_b = _synth_T(plan, w)
     rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
     if key is not None:

@@ -72,3 +72,45 @@ def test_pol_sampling_runs():
                                    tol=1e-7, maxiter=300)
     assert res.converged
     assert np.isfinite(np.asarray(a.real)).all()
+
+
+def test_qucov_noise_in_cg():
+    """QU-covariance noise blocks keep the operator self-adjoint and the
+    Wiener solve convergent (comm_N_QUcov_mod wiring)."""
+    import dataclasses
+    plan = sht.get_plan(NSIDE, LMAX, spin2=True)
+    nl = LMAX + 1
+    B, C, S = 2, 2, 3
+    rng = np.random.default_rng(9)
+    F = np.abs(rng.standard_normal((B, C, S))) + 0.5
+    bl = np.broadcast_to(gaussian_bl(500.0, LMAX)[None, None], (B, S, nl)).copy()
+    ell = np.arange(nl)
+    cl = np.broadcast_to(1e3 / (1 + ell * (ell + 1.0)), (C, S, nl)).copy()
+    cl[:, 1:, :2] = 0.0
+    rms = np.full((B, S, NPIX), 5.0)
+    # random SPD 2x2 covariances per pixel
+    a = rng.standard_normal((B, NPIX, 2, 2)) * 2
+    cov = np.einsum("bpik,bpjk->bpij", a, a) + 25.0 * np.eye(2)
+    data = rng.standard_normal((B, S, NPIX)) * 10
+    sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
+                           jnp.asarray(cl), jnp.asarray(data),
+                           cov_qu=jnp.asarray(cov))
+    tri = jnp.asarray(triangle_mask(nl, nl))
+    u = random_alm_white(jax.random.PRNGKey(1), (C, S, nl, nl)) * tri
+    v = random_alm_white(jax.random.PRNGKey(2), (C, S, nl, nl)) * tri
+    lhs = alm_dot(u, amp.apply_A(sys, plan, v))
+    rhs = alm_dot(amp.apply_A(sys, plan, u), v)
+    assert abs(lhs - rhs) < 1e-8 * abs(lhs)
+    a_out, res = amp.sample_amplitudes(sys, plan, key=jax.random.PRNGKey(3),
+                                       tol=1e-7, maxiter=400)
+    assert res.converged
+    assert np.isfinite(np.asarray(a_out.real)).all()
+    # N^-1/2 consistency: (sqrtInvN)^T sqrtInvN == invN on random maps
+    x = jnp.asarray(rng.standard_normal((B, S, NPIX)))
+    y1 = amp.apply_invN(sys, x)
+    half = amp.apply_sqrt_invN(sys, x)
+    # apply transpose of sqrt via the same blocks transposed
+    sysT = dataclasses.replace(sys, sqrt_inv_qu=jnp.swapaxes(sys.sqrt_inv_qu, -1, -2))
+    y2 = amp.apply_sqrt_invN(sysT, half)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-9,
+                               atol=1e-9)
