@@ -57,6 +57,12 @@ class AmplitudeSystem:
     # diagonal (T stays diagonal).
     inv_qu: jnp.ndarray | None = None        # (B, P, 2, 2)
     sqrt_inv_qu: jnp.ndarray | None = None   # (B, P, 2, 2)
+    # Optional pixel-dependent mixing (per-pixel spectral indices): when
+    # set, the operator uses the reference's Y -> F(p) -> YtW -> B path
+    # (evalDiffuseBand, comm_diffuse_comp_mod.f90:2027-2109) instead of the
+    # constant-mixing alm-space multiply. F then holds the pixel MEAN
+    # mixing (used by the preconditioner, like the reference's F_mean).
+    F_pix: jnp.ndarray | None = None         # (B, C, S, P)
 
 
 def apply_invN(sys: "AmplitudeSystem", m):
@@ -135,9 +141,38 @@ def _synth_T(plan, maps):
     return sht.alm2map_adjoint(plan, maps)
 
 
+def _pix_weights(plan):
+    """Per-pixel quadrature weight w(p) (ring weight of the pixel's ring)."""
+    return plan.ring_weight[plan.pix_idx // plan.pmax]
+
+
+def _forward_pixmix(sys: AmplitudeSystem, plan, a):
+    """Band maps with pixel mixing: B_b YtW [sum_c F_bc(p) (Y a_c)(p)].
+
+    YtW here is the eps-metric adjoint pair Yt(w .) so that the operator
+    transpose below is EXACT (the quadrature map2alm differs only in the
+    m=0 spin-2 epsilon convention)."""
+    u = _synth(plan, a)                                # (C, S, P)
+    s_b = jnp.einsum("bcsp,csp->bsp", sys.F_pix, u)
+    alm_b = _synth_T(plan, s_b * _pix_weights(plan)) * sys.bl[..., None]
+    return _synth(plan, alm_b)
+
+
+def _forward_pixmix_T(sys: AmplitudeSystem, plan, g_b):
+    """Exact adjoint of _forward_pixmix."""
+    alm_b = _synth_T(plan, g_b) * sys.bl[..., None]
+    t_b = _synth(plan, alm_b) * _pix_weights(plan)     # adjoint of Yt(w .)
+    v_c = jnp.einsum("bcsp,bsp->csp", sys.F_pix, t_b)
+    return _synth_T(plan, v_c)
+
+
 def apply_A(sys: AmplitudeSystem, plan, u):
     """(1 + S^1/2 A^T N^-1 A S^1/2) u — one batched Y and Yt over all bands."""
     a = _sqrtS(sys, u)
+    if sys.F_pix is not None:
+        m = apply_invN(sys, _forward_pixmix(sys, plan, a))
+        r = _forward_pixmix_T(sys, plan, m)
+        return u + _sqrtS(sys, r)
     alm_b = _project_bands(sys, plan, a)
     m = _synth(plan, alm_b)                      # batch (B, S)
     m = apply_invN(sys, m)
@@ -158,8 +193,11 @@ def compute_rhs(sys: AmplitudeSystem, plan, key=None):
         k1, k2 = jax.random.split(key)
         eta1 = jax.random.normal(k1, sys.data.shape, sys.data.dtype)
         w = w + apply_sqrt_invN(sys, eta1)
-    r_b = _synth_T(plan, w)
-    rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
+    if sys.F_pix is not None:
+        rhs = _sqrtS(sys, _forward_pixmix_T(sys, plan, w))
+    else:
+        r_b = _synth_T(plan, w)
+        rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
     if key is not None:
         eta2 = random_alm_white(k2, rhs.shape[:-2] + rhs.shape[-2:],
                                 sys.data.dtype) * sys.tri
