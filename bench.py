@@ -34,7 +34,9 @@ def inner():
     from commander_tpu.sphere import sht
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    nside, lmax, batch = (256, 512, 8) if on_tpu else (64, 128, 4)
+    # nside 128 keeps host plan build ~5s and device compile tolerable on
+    # this environment's slow remote compiler; raise once it stabilizes.
+    nside, lmax, batch = (128, 256, 8) if on_tpu else (64, 128, 4)
     dtype = "float32" if on_tpu else "float64"
     plan = sht.get_plan(nside, lmax, dtype=dtype)
     nl = lmax + 1
@@ -86,7 +88,7 @@ def main():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=560,
+                capture_output=True, text=True, timeout=250,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 line = line.strip()
