@@ -102,14 +102,16 @@ def sigma_ell(alm: jnp.ndarray, lmax: int) -> jnp.ndarray:
 
 
 def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
-                              lmin_bin: int = 0):
+                              alpha0: float = -1.0, beta0: float = 0.0):
     """Conditional draw of binned Cl | alm via inverse-gamma per bin.
 
     For the diagonal-Stokes case the inverse-Wishart of the reference
-    (sample_Cls_inverse_wishart, comm_Cl_mod.f90:865-1006) reduces to:
-      P(C_b | a) = InvGamma(shape = (n_b - 2)/2, scale = sum_{l,m in b}
-                   eps_m |a_lm|^2 / 2),  n_b = sum_{l in b} (2l+1).
-    Draw via C_b = scale / Gamma(shape). Returns (nmaps, nbins).
+    (sample_Cls_inverse_wishart, comm_Cl_mod.f90:865-1006) reduces to
+      P(C_b | a) = InvGamma(alpha0 + n_b/2, beta0 + s_b/2),
+      n_b = sum_{l in b} (2l+1),  s_b = sum_{l,m in b} eps_m |a_lm|^2,
+    with the default (alpha0=-1, beta0=0) matching the reference's flat
+    prior on C_b; proper InvGamma(alpha0, beta0) hyperpriors are supported
+    (used e.g. by the Geweke validation). Returns (nmaps, nbins).
     """
     idx = jnp.asarray(bin_index_table(cfg))
     nbins = len(cfg.bin_starts)
@@ -119,9 +121,17 @@ def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
     # sum of eps|a|^2 over bin = sum_l (2l+1) sigma_l
     ssum = jax.ops.segment_sum((wl * sig).T, idx, num_segments=nbins).T
     nmodes = jax.ops.segment_sum(wl, idx, num_segments=nbins)
-    shape = jnp.maximum((nmodes - 2.0) / 2.0, 0.5)
+    shape = jnp.maximum(alpha0 + nmodes / 2.0, 0.5)
     g = jax.random.gamma(key, shape[None, :].repeat(sig.shape[0], 0))
-    return (ssum / 2.0) / g
+    return (beta0 + ssum / 2.0) / g
+
+
+def sample_cl_prior(key, cfg: ClModelConfig, nmaps: int, alpha0: float,
+                    beta0: float):
+    """Forward draw C_b ~ InvGamma(alpha0, beta0) per bin (Geweke tests)."""
+    nbins = len(cfg.bin_starts)
+    g = jax.random.gamma(key, jnp.full((nmaps, nbins), alpha0))
+    return beta0 / g
 
 
 def sample_cl_powerlaw_amp(key, cfg: ClModelConfig, alm: jnp.ndarray,
