@@ -47,14 +47,22 @@ class DiffuseComponent:
 
 
 def mixing_element(comp: DiffuseComponent, bp: Bandpass, theta=None,
-                   delta=0.0):
+                   delta=0.0, band_index: int | None = None):
     """F[b,c]: band response of unit component amplitude, in band units.
 
     theta: sequence of spectral parameters (scalars or (npix,) arrays);
     defaults to comp.theta0. Returns scalar or (npix,) array.
+    Line components (comp.sed == 'line'): theta holds the per-band line
+    ratios (the reference's sampled line ratios, comm_line_comp_mod.f90);
+    F is theta[band_index] directly (zero where absent).
     """
     if theta is None:
         theta = comp.theta0
+    if comp.sed == "line":
+        if band_index is None:
+            raise ValueError("line components need band_index")
+        ratios = jnp.asarray(theta)
+        return ratios[band_index] if band_index < len(theta) else 0.0 * ratios[0]
     nu, w = bp.weights(delta)
     sed_fn = SED_REGISTRY[comp.sed]
     if comp.sed == "cmb":
@@ -85,7 +93,8 @@ def mixing_matrix(comps: Sequence[DiffuseComponent], bps: Sequence[Bandpass],
     rows = []
     for b, bp in enumerate(bps):
         d = 0.0 if deltas is None else deltas[b]
-        row = [mixing_element(c, bp, None if thetas is None else thetas[i], d)
+        row = [mixing_element(c, bp, None if thetas is None else thetas[i],
+                              d, band_index=b)
                for i, c in enumerate(comps)]
         rows.append(jnp.stack(row))
     return jnp.stack(rows)

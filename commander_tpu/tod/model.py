@@ -226,9 +226,7 @@ def sample_gain_perscan(key, tod, s_ref, mask, sigma0, prior_mean=None,
 
 
 def smooth_gain(gain, window: int):
-    """Boxcar smoothing of per-scan gains over the scan axis — the
-    light-weight stand-in for the reference's Wiener smoothing over PID
-    ranges (sample_smooth_gain comm_tod_gain_mod.f90:143-453)."""
+    """Boxcar smoothing of per-scan gains over the scan axis (cheap mode)."""
     Ns = gain.shape[0]
     w = min(window, Ns)
     kern = jnp.ones((w,), gain.dtype) / w
@@ -236,6 +234,40 @@ def smooth_gain(gain, window: int):
     gp = jnp.pad(gain, ((pad, w - 1 - pad), (0, 0)), mode="edge")
     return jax.vmap(lambda col: jnp.convolve(col, kern, mode="valid"),
                     in_axes=1, out_axes=1)(gp)
+
+
+def smooth_gain_wiener(key, gain_raw, sigma_g, fknee_scan: float = 0.05,
+                       alpha: float = -2.0, sample: bool = True):
+    """Wiener smoothing (+ fluctuation) of per-scan gains over the scan
+    axis — the reference's sample_smooth_gain
+    (comm_tod_gain_mod.f90:143-453): the gain deviation delta g(scan) gets
+    a 1/f-like smoothness prior P(f) = (f/fknee)^alpha in scan-frequency,
+    combined with the per-scan GLS uncertainties sigma_g.
+
+    Uses the mean measurement variance for the Fourier-diagonal solve (the
+    reference's PID-range binning plays the same regularizing role); the
+    scan mean is preserved exactly.
+    """
+    Ns = gain_raw.shape[0]
+    mean = jnp.mean(gain_raw, axis=0, keepdims=True)
+    d = gain_raw - mean
+    var_meas = jnp.mean(jnp.square(sigma_g), axis=0)      # (Nd,)
+    f = jnp.fft.rfftfreq(Ns, 1.0).astype(gain_raw.dtype)
+    P = jnp.where(f > 0, (jnp.maximum(f, 1e-6) / fknee_scan) ** alpha, 0.0)
+    P = P[:, None] * jnp.mean(jnp.square(sigma_g), axis=0)[None, :]
+    df = jnp.fft.rfft(d, axis=0)
+    W = P / (P + var_meas[None, :] * Ns / Ns)
+    post_var = 1.0 / (1.0 / jnp.maximum(P, 1e-30)
+                      + 1.0 / jnp.maximum(var_meas[None, :], 1e-30))
+    sm = W * df
+    if sample:
+        kr, ki = jax.random.split(key)
+        eta = (jax.random.normal(kr, df.shape, gain_raw.dtype)
+               + 1j * jax.random.normal(ki, df.shape, gain_raw.dtype))
+        sm = sm + jnp.sqrt(post_var * Ns / 2.0) * eta
+        sm = sm.at[0].set(sm[0].real + 0j)
+    out = mean + jnp.fft.irfft(sm, n=Ns, axis=0)
+    return out
 
 
 def sample_abscal(key, tod_resid, s_orb, mask, sigma0):
