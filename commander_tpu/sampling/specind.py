@@ -122,6 +122,64 @@ def sample_specind_fullsky(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
     return _cdf_invert(key, lnl_tot, cfg.grid(res.dtype))
 
 
+def sample_specind_alm(key, comp, bps, cfg: SpecIndConfig, plan, res,
+                       amp_pix, inv_rms2, theta_other, theta_alm,
+                       which: int = 0, lmax_ind: int = 2,
+                       step: float = 0.05, nsteps: int = 3):
+    """alm-space Metropolis sampler for a smooth spectral-index FIELD.
+
+    Reference: sample_specind_alm (comm_nonlin_mod.f90:193-874) — the
+    production sampler when COMP_LMAX_IND >= 0: theta is parametrized by
+    low-ell alms; proposals perturb the alms; the likelihood is the map
+    chi^2 with pixel mixing evaluated at theta(p) = Y theta_alm, plus the
+    Gaussian prior (if configured) acting on the map.
+
+    theta_alm: (lmax_ind+1, lmax_ind+1) complex alms of the sampled
+    parameter; theta_other: the component's full parameter tuple (the
+    sampled slot is ignored and replaced by the synthesized map).
+    Returns (theta_alm', theta_map', n_accept). Host-level loop (the MH
+    chain is short and sequential, like the reference's).
+    """
+    import numpy as np
+
+    from ..sphere import sht
+    from ..sphere.alm import random_alm_white, real_m0
+
+    nl_i = lmax_ind + 1
+    tri = jnp.asarray((np.arange(nl_i)[None, :]
+                       <= np.arange(nl_i)[:, None]).astype(np.float64))
+
+    def to_map(t_alm):
+        pad = plan.lmax + 1 - nl_i
+        return sht.alm2map(plan, jnp.pad(t_alm, ((0, pad), (0, pad))))
+
+    @jax.jit
+    def lnL(t_alm):
+        theta_map = to_map(t_alm)
+        th = tuple(theta_map if i == which else v
+                   for i, v in enumerate(theta_other))
+        Fg = jnp.stack([mixing_element(comp, bp, th) for bp in bps])
+        model = Fg[:, None, :] * amp_pix[None]
+        lp = -0.5 * jnp.sum(inv_rms2 * jnp.square(res - model))
+        if cfg.prior_mean is not None and cfg.prior_std is not None:
+            lp = lp - 0.5 * jnp.mean(
+                jnp.square((theta_map - cfg.prior_mean) / cfg.prior_std))
+        return lp
+
+    t = theta_alm
+    ll = lnL(t)
+    n_acc = 0
+    for s in range(nsteps):
+        key, k1, k2 = jax.random.split(key, 3)
+        prop = t + step * real_m0(
+            random_alm_white(k1, (nl_i, nl_i), jnp.float64)) * tri
+        ll_p = lnL(prop)
+        if float(jnp.log(jax.random.uniform(k2, ()))) < float(ll_p - ll):
+            t, ll = prop, ll_p
+            n_acc += 1
+    return t, to_map(t), n_acc
+
+
 def sample_specind_regions(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
                            inv_rms2, theta_other, region_of_pix, nregion,
                            which: int = 0):

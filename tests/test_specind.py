@@ -90,3 +90,40 @@ def test_prior_dominates_when_no_data():
     b = np.asarray(beta)
     assert abs(b.mean() + 3.2) < 0.02
     assert abs(b.std() - 0.1) < 0.02
+
+
+def test_alm_specind_sampler_improves_fit():
+    """alm-space MH on a smooth beta field reduces chi2 toward the truth."""
+    from commander_tpu.sphere import sht
+    from commander_tpu.sphere import healpix
+    nside, lmax = 8, 16
+    plan = sht.get_plan(nside, lmax)
+    npix = 12 * nside * nside
+    comp = DiffuseComponent("synch", "power_law", 30 * GHZ, theta0=(-3.0,))
+    bps = [delta_bandpass(f * GHZ, unit="uK_RJ") for f in (10, 23, 44, 70)]
+    rng = np.random.default_rng(0)
+    # smooth true beta field: monopole + dipole in z
+    z = healpix.pix2vec_ring(nside)[:, 2]
+    beta_true = -3.0 + 0.2 * z
+    amp = jnp.asarray(np.abs(rng.standard_normal((1, npix))) * 60 + 40)
+    from commander_tpu.model.mixing import mixing_element
+    F_true = jnp.stack([mixing_element(comp, bp, (jnp.asarray(beta_true),))
+                        for bp in bps])
+    rms = 0.5
+    data = F_true[:, None, :] * amp[None] \
+        + rms * rng.standard_normal((4, 1, npix))
+    inv_rms2 = jnp.full((4, 1, npix), 1.0 / rms**2)
+    cfg = specind.SpecIndConfig(grid_min=-4, grid_max=-2, ngrid=8,
+                                prior_mean=-3.0, prior_std=1.0)
+    import jax
+    from commander_tpu.sphere.alm import alm_dot
+    t0 = jnp.zeros((3, 3), jnp.complex128).at[0, 0].set(
+        -3.0 * np.sqrt(4 * np.pi))
+    t, theta_map, n_acc = specind.sample_specind_alm(
+        jax.random.PRNGKey(0), comp, bps, cfg, plan, jnp.asarray(data),
+        amp, inv_rms2, (-3.0,), t0, which=0, lmax_ind=2, step=0.1,
+        nsteps=30)
+    # the sampler should move toward the true smooth field
+    err0 = np.abs(np.asarray(theta_map) - beta_true)
+    assert n_acc > 0
+    assert err0.mean() < 0.1, err0.mean()
