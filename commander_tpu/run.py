@@ -249,7 +249,7 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
 
 
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
-        outdir=None, dtype="float64", verbose=True, tod=False):
+        outdir=None, dtype="float64", verbose=True, tod=False, chain=1):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -273,11 +273,12 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
                              cg_maxiter=cfg.cg_maxiter,
-                             sample_cl=cfg.sample_powspec)
+                             sample_cl=cfg.sample_powspec,
+                             optimize=(cfg.operation == "optimize"))
     nbins = len(cl_cfg.bin_starts)
     niter = niter or cfg.num_gibbs_iter
 
-    chain_path = os.path.join(outdir, "chain_c0001.h5")
+    chain_path = os.path.join(outdir, f"chain_c{chain:04d}.h5")
     ch = ChainFile(chain_path)
     first = ch.last_sample()
     if first > 0:
@@ -290,7 +291,10 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     ch.write_metadata({k: (v if not isinstance(v, list) else ",".join(map(str, v)))
                        for k, v in meta.items()})
 
-    key = jax.random.PRNGKey(cfg.base_seed)
+    # independent chains: counter-based keys folded by chain index
+    # (replaces the reference's per-rank seed scrambling,
+    # comm_param_mod.f90:334-357)
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed), chain)
     state = gibbs.init_state(key, len(diffuse), 1, meta["lmax"], nbins)
     # seed Cl bins from the prior model
     from .model.cl import bin_index_table
@@ -460,8 +464,10 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     cfg = lower_params(Params.load(args.paramfile))
-    run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
-        niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod)
+    for chain in range(1, max(cfg.numchain, 1) + 1):
+        run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
+            niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod,
+            chain=chain)
 
 
 if __name__ == "__main__":

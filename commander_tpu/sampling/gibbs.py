@@ -45,6 +45,10 @@ class GibbsConfig:
     cg_tol: float = 1e-7
     cg_maxiter: int = 300
     sample_cl: bool = True
+    # OPERATION = optimize (reference commander.f90 'optimize' mode):
+    # Wiener-mean amplitudes (no fluctuation terms) + ML C_ell update
+    # instead of posterior draws.
+    optimize: bool = False
 
 
 def init_state(key, ncomp, nmaps, lmax, nbins, cl0=1.0) -> GibbsState:
@@ -66,12 +70,25 @@ def gibbs_step(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan,
     # 1. amplitudes | Cl  (comm_signal_mod.f90:154 sample_amps_by_CG)
     cl = jax.vmap(lambda b: cl_eval(cfg.cl_cfg, {"cl_bins": b}))(state.cl_bins)
     sys = dataclasses.replace(base_sys, cl=cl)
-    a, res = amp.sample_amplitudes(sys, plan, key=k_amp, tol=cfg.cg_tol,
-                                   maxiter=cfg.cg_maxiter)
+    a, res = amp.sample_amplitudes(sys, plan,
+                                   key=None if cfg.optimize else k_amp,
+                                   tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
 
     # 2. Cl | amplitudes  (comm_signal_mod.f90:435 sample_powspec ->
     #    comm_Cl_mod.f90:865 inverse-Wishart, diagonal-Stokes reduction)
-    if cfg.sample_cl:
+    if cfg.sample_cl and cfg.optimize:
+        # ML update: C_b = s_b / n_b (posterior mode under the flat prior)
+        from ..model.cl import bin_index_table, sigma_ell
+        idx = jnp.asarray(bin_index_table(cfg.cl_cfg))
+        nbins = len(cfg.cl_cfg.bin_starts)
+        sig = sigma_ell(a, cfg.cl_cfg.lmax)          # (C, S, nl)
+        ell = jnp.arange(cfg.cl_cfg.lmax + 1, dtype=sig.dtype)
+        wl = 2.0 * ell + 1.0
+        onehot = jax.nn.one_hot(idx, nbins, dtype=sig.dtype)   # (nl, nbins)
+        ssum = jnp.einsum("csl,lb->csb", wl * sig, onehot)
+        nmodes = wl @ onehot
+        cl_bins = ssum / jnp.maximum(nmodes, 1.0)
+    elif cfg.sample_cl:
         keys = jax.random.split(k_cl, a.shape[0])
         cl_bins = jax.vmap(
             lambda k, ac: sample_cl_binned_invgamma(k, cfg.cl_cfg, ac)
