@@ -61,17 +61,25 @@ class Bandpass:
         """Effective center frequency."""
         return float(np.sum(self.nu * self.tau) / np.sum(self.tau))
 
-    def weights(self, delta: jnp.ndarray | float = 0.0):
-        """Quadrature nodes and normalized weights after an additive shift.
+    def weights(self, delta: jnp.ndarray | float = 0.0,
+                shift_model: str = "additive_shift"):
+        """Quadrature nodes and normalized weights after a bandpass shift.
 
         Returns (nu_eff, w) with w such that the band response to a uK_RJ
         spectral shape S(nu) in the band's output unit is sum_k w_k S(nu_k).
-        Mirrors comm_bp_mod.f90 update_tau + SED2F:
+        Mirrors comm_bp_mod.f90 update_tau (:182-221) + SED2F:
           uK_cmb band maps: F = int tau S_RJ dnu / int tau dBnu/dT|cmb_RJ dnu
           uK_RJ:            F = int tau S_RJ dnu / int tau dnu
+        Shift models (comm_bp_mod.f90:194-204):
+          additive_shift: nu -> nu + delta
+          powlaw_tilt:    tau -> tau * (nu/nu_c)^delta  (delta dimensionless)
         """
-        nu = jnp.asarray(self.nu) + delta
         tau = jnp.asarray(self.tau)
+        if shift_model == "powlaw_tilt":
+            nu = jnp.asarray(self.nu)
+            tau = tau * (nu / self.nu_c) ** delta
+        else:
+            nu = jnp.asarray(self.nu) + delta
         if self.nu.size == 1:
             # delta bandpass: evaluate at the (shifted) center frequency
             base = jnp.ones((1,))

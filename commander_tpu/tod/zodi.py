@@ -54,6 +54,58 @@ def _cloud_density(cfg: KelsallCloud, x, y, z):
     return cfg.n0 * R ** (-cfg.alpha) * jnp.exp(-cfg.beta * g ** cfg.gamma)
 
 
+@dataclasses.dataclass(frozen=True)
+class KelsallBand:
+    """Dust band component (Kelsall Table 1, three bands)."""
+    n0: float
+    delta_zeta: float       # rad
+    v: float
+    p: float
+    delta_r: float          # AU
+
+    def density(self, x, y, z):
+        R = jnp.sqrt(x**2 + y**2 + z**2)
+        zeta = jnp.abs(z) / jnp.maximum(R, 1e-6)
+        zr = zeta / self.delta_zeta
+        g6 = zr**6
+        return (3.0 * self.n0 / R) * jnp.exp(-(zr**6)) \
+            * (self.v + zr**self.p) / (1.0 + 0.0 * zr) \
+            * (1.0 - jnp.exp(-((R / self.delta_r) ** 20)))
+
+
+BAND1 = KelsallBand(n0=5.6e-10, delta_zeta=8.78e-2, v=0.1, p=4.0, delta_r=1.5)
+BAND2 = KelsallBand(n0=1.99e-9, delta_zeta=3.49e-2, v=0.9, p=4.0, delta_r=0.94)
+BAND3 = KelsallBand(n0=1.44e-10, delta_zeta=2.63e-2, v=0.05, p=4.0, delta_r=1.5)
+
+
+@dataclasses.dataclass(frozen=True)
+class KelsallRing:
+    """Circumsolar ring + Earth-trailing feature (Kelsall Table 1)."""
+    n0_ring: float = 1.83e-8
+    R_ring: float = 1.03
+    sigma_r_ring: float = 0.025
+    sigma_z_ring: float = 0.054
+    n0_feat: float = 1.9e-8
+    R_feat: float = 1.06
+    sigma_r_feat: float = 0.10
+    sigma_z_feat: float = 0.091
+    theta_feat: float = -10.0 * np.pi / 180.0
+    sigma_theta_feat: float = 12.1 * np.pi / 180.0
+
+    def density(self, x, y, z, earth_lon):
+        R = jnp.sqrt(x**2 + y**2 + z**2)
+        ring = self.n0_ring * jnp.exp(
+            -((R - self.R_ring) ** 2) / (2 * self.sigma_r_ring**2)
+            - jnp.abs(z) / self.sigma_z_ring)
+        theta = jnp.arctan2(y, x) - (earth_lon + self.theta_feat)
+        theta = jnp.arctan2(jnp.sin(theta), jnp.cos(theta))
+        feat = self.n0_feat * jnp.exp(
+            -((R - self.R_feat) ** 2) / (2 * self.sigma_r_feat**2)
+            - jnp.abs(z) / self.sigma_z_feat
+            - theta**2 / (2 * self.sigma_theta_feat**2))
+        return ring + feat
+
+
 def _planck_MJysr(nu, T):
     """Blackbody intensity in MJy/sr."""
     x = H_PLANCK * nu / (K_BOLTZ * jnp.maximum(T, 1.0))
@@ -62,12 +114,14 @@ def _planck_MJysr(nu, T):
 
 
 def zodi_template(cfg: KelsallCloud, nu: float, earth_pos, los_vec,
-                  r_max: float = 5.2, n_nodes: int = 25):
+                  r_max: float = 5.2, n_nodes: int = 25,
+                  bands: tuple = (), ring: "KelsallRing | None" = None):
     """LOS-integrated zodi intensity [MJy/sr].
 
     earth_pos: (..., 3) observer position [AU] (broadcast over samples);
-    los_vec: (..., 3) unit pointing in ecliptic coords.
-    Gauss-Legendre-ish fixed grid in distance s along the LOS.
+    los_vec: (..., 3) unit pointing in ecliptic coords. Optional dust
+    bands (BAND1..3) and ring/feature components add their densities
+    (comm_zodi_mod compute_zodi_template includes the same set).
     """
     s_nodes = jnp.linspace(0.02, r_max, n_nodes)
     ds = s_nodes[1] - s_nodes[0]
@@ -76,5 +130,10 @@ def zodi_template(cfg: KelsallCloud, nu: float, earth_pos, los_vec,
     R = jnp.sqrt(x**2 + y**2 + z**2)
     T = cfg.T0 * jnp.maximum(R, 1e-6) ** (-cfg.delta)
     dens = _cloud_density(cfg, x, y, z)
+    for b in bands:
+        dens = dens + b.density(x, y, z)
+    if ring is not None:
+        earth_lon = jnp.arctan2(earth_pos[..., 1], earth_pos[..., 0])
+        dens = dens + ring.density(x, y, z, earth_lon[..., None])
     emis = dens * _planck_MJysr(nu, T)
     return jnp.sum(emis, axis=-1) * ds * AU   # integrate n(s) B ds [m]

@@ -95,3 +95,31 @@ def test_zodi_template_shape_and_positivity():
     poles = np.abs(v[:, 2]) > 0.9
     if in_plane.any() and poles.any():
         assert s[in_plane].mean() > s[poles].mean()
+
+
+def test_zodi_full_components():
+    from commander_tpu.tod.zodi import (BAND1, BAND2, BAND3, KelsallCloud,
+                                        KelsallRing, zodi_template)
+    cfg = KelsallCloud()
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((50, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    earth = jnp.asarray([0.0, 1.0, 0.0])
+    s_cloud = np.asarray(zodi_template(cfg, 857e9, earth, jnp.asarray(v)))
+    s_full = np.asarray(zodi_template(cfg, 857e9, earth, jnp.asarray(v),
+                                      bands=(BAND1, BAND2, BAND3),
+                                      ring=KelsallRing()))
+    assert np.all(s_full >= s_cloud)        # extra components only add
+    assert np.all(np.isfinite(s_full))
+    assert s_full.mean() > s_cloud.mean()
+
+
+def test_powlaw_tilt_bandpass():
+    from commander_tpu.instrument.bandpass import tophat_bandpass
+    bp = tophat_bandpass(100e9, 0.3)
+    nu0, w0 = bp.weights(0.0, shift_model="powlaw_tilt")
+    nu1, w1 = bp.weights(2.0, shift_model="powlaw_tilt")
+    # positive tilt moves the effective weight to higher frequencies
+    eff0 = float(jnp.sum(jnp.asarray(nu0) * w0) / jnp.sum(w0))
+    eff1 = float(jnp.sum(jnp.asarray(nu1) * w1) / jnp.sum(w1))
+    assert eff1 > eff0
