@@ -50,28 +50,41 @@ def inner():
             return sht.map2alm(p, sht.alm2map(p, a)).astype(a.dtype)
         return jax.lax.fori_loop(0, n, body, a)
 
-    def timed(n):
+    def timed_block(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(plan, a, n))
+        return time.perf_counter() - t0
+
+    def timed_readback(n):
         t0 = time.perf_counter()
         out = chain(plan, a, n)
-        # scalar readback forces completion even when block_until_ready lies
         val = float(np.asarray(jnp.sum(jnp.abs(out.real))))
-        return time.perf_counter() - t0, val
+        assert val > 0
+        return time.perf_counter() - t0
 
-    timed(1)              # compile both n-variants
-    timed(1)
     n_lo, n_hi = 2, 12
-    # compile the two variants before timing
-    chain(plan, a, n_lo)
-    chain(plan, a, n_hi)
-    t_lo, v = timed(n_lo)
-    t_hi, _ = timed(n_hi)
+    timed_block(n_lo)      # compile
+    timed_block(n_hi)
+    # Path 1 (no transfers, cannot poison the session): block-based timing
+    # validated by n-scaling — if block_until_ready actually waits, the
+    # n_hi/n_lo wall-time ratio approaches n_hi/n_lo.
+    t_lo = min(timed_block(n_lo) for _ in range(3))
+    t_hi = min(timed_block(n_hi) for _ in range(3))
+    ratio_ok = t_lo > 1e-5 and 2.0 < (t_hi / t_lo) < 12.0
+    if not ratio_ok:
+        # block_until_ready is a no-op here: force completion via a scalar
+        # device->host readback (works only in transfer-capable sessions;
+        # a failed transfer aborts this process and the driver retries).
+        t_lo = timed_readback(n_lo)
+        t_hi = timed_readback(n_hi)
     per_round = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
     shts = 2.0 * batch / per_round   # each roundtrip = 2 transforms x batch
-    if not (v > 0 and per_round > 1e-7):
-        raise RuntimeError(f"implausible timing: {per_round} {v}")
+    if per_round < 1e-7:
+        raise RuntimeError(f"implausible timing: {per_round}")
     print(json.dumps({
         "metric": f"SHT transforms/sec/chip (alm2map+map2alm roundtrip, "
-                  f"nside={nside}, lmax={lmax}, batch={batch}, {dtype})",
+                  f"nside={nside}, lmax={lmax}, batch={batch}, {dtype}, "
+                  f"sync={'block' if ratio_ok else 'readback'})",
         "value": round(shts, 2),
         "unit": "transforms/s",
         "vs_baseline": round(shts / BASELINE_SHT_PER_S, 2),
@@ -84,7 +97,7 @@ def main():
         return
     env = dict(os.environ, COMMANDER_TPU_BENCH_INNER="1")
     last_err = ""
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
