@@ -101,3 +101,64 @@ def rings_to_map(plan: SHTPlan, fr: jnp.ndarray) -> jnp.ndarray:
     """Padded-ring layout (..., nring_pad, pmax) -> (..., npix)."""
     flat = fr[..., : plan.nring, :].reshape(*fr.shape[:-2], -1)
     return flat[..., plan.pix_idx]
+
+
+def map_to_rings(plan: SHTPlan, maps: jnp.ndarray, mult: int) -> jnp.ndarray:
+    """(..., npix) -> padded-ring layout (..., nring_pad, pmax)."""
+    flat = maps[..., plan.pad_src] * plan.pad_valid
+    fr = flat.reshape(*maps.shape[:-1], plan.nring, plan.pmax)
+    return _pad_axis(fr, -2, mult)
+
+
+def sharded_alm2map_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
+                                  axis: str = "sphere", ndim_batch: int = 1):
+    """Yt with the transform sharded across `axis` (adjoint of
+    sharded_alm2map_rings): padded-ring maps (ring-sharded) -> alm
+    (m-sharded output, replicate with jax.device_put if needed).
+    """
+    ndev = mesh.shape[axis]
+    nl = plan.lmax + 1
+    nm = plan.mmax + 1
+    nm_p = -(-nm // ndev) * ndev
+    nring = plan.nring
+    nring_p = -(-nring // ndev) * ndev
+
+    lam_p = _pad_axis(plan.lam0, -1, ndev)
+    parity_p = _pad_axis(plan.parity, -1, ndev)
+    tri_p = _pad_axis(plan.lmmask, -1, ndev)
+    ana_A = _pad_axis(plan.ana_A, 0, ndev)
+    ana_Vh = _pad_axis(plan.ana_Vh, 0, ndev)
+    ana_B = _pad_axis(_pad_axis(plan.ana_B, 0, ndev), 1, ndev)
+
+    nb = ndim_batch
+    spec_ring = P(*([None] * nb + [axis, None]))
+    spec_m = P(*([None] * nb + [None, axis]))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec_ring, P(None, None, axis), P(None, axis),
+                       P(None, axis), P(axis, None), P(axis, None),
+                       P(axis, None)),
+             out_specs=spec_m)
+    def kernel(f_r, lam_m, par_m, tri_m, aA_r, aVh_r, aB_r):
+        # ring-local Bluestein analysis
+        u = f_r.astype(plan.cdtype) * aA_r
+        flat = u.reshape(-1, u.shape[-1])
+        U = jnp.fft.fft(flat, n=plan.La, axis=-1).reshape(
+            *u.shape[:-1], plan.La)
+        w = jnp.fft.ifft((U * aVh_r).reshape(-1, plan.La), axis=-1).reshape(
+            *u.shape[:-1], plan.La)
+        w = jax.lax.slice_in_dim(w, plan.pmax - 1,
+                                 plan.pmax - 1 + aB_r.shape[-1], axis=-1)
+        F = w * aB_r                                   # (..., nring_p/k, nm_p)
+        # transpose back: ring-shards -> m-shards
+        F = jax.lax.all_to_all(F, axis, split_axis=F.ndim - 1,
+                               concat_axis=F.ndim - 2, tiled=True)
+        # F now (..., nring_p, nm_p/k); Legendre adjoint on local m-block
+        Fn = F[..., : plan.nh, :]
+        Fs = jnp.flip(F[..., plan.nh: nring, :], axis=-2)
+        a = jnp.einsum("...rm,rlm->...lm", Fn, lam_m)
+        a = a + jnp.einsum("...rm,rlm->...lm", Fs,
+                           lam_m[: plan.nh - 1]) * par_m
+        return a * tri_m
+
+    return kernel(fr, lam_p, parity_p, tri_p, ana_A, ana_Vh, ana_B)
