@@ -146,3 +146,23 @@ def test_parseval_power():
     lhs = np.sum(m**2) * 4 * np.pi / healpix.npix_of(nside)
     rhs = alm_dot(alm, alm)
     assert abs(lhs - rhs) / rhs < 1e-3
+
+
+def test_map2alm_iter_improves_accuracy():
+    nside, lmax = 16, 24
+    plan = sht.get_plan(nside, lmax)
+    alm = rand_alm(np.random.default_rng(11), lmax)
+    m = sht.alm2map(plan, jnp.asarray(alm))
+    tri = np.tril(np.ones((lmax + 1, lmax + 1), dtype=bool))
+    err0 = np.abs((np.asarray(sht.map2alm(plan, m)) - alm)[tri]).max()
+    err3 = np.abs((np.asarray(sht.map2alm_iter(plan, m, 3)) - alm)[tri]).max()
+    assert err3 < 0.05 * err0, (err0, err3)
+
+
+def test_smooth_map_reduces_power():
+    nside, lmax = 16, 24
+    plan = sht.get_plan(nside, lmax)
+    rng = np.random.default_rng(12)
+    m = jnp.asarray(rng.standard_normal(healpix.npix_of(nside)))
+    sm = sht.smooth_map(plan, m, 600.0)
+    assert float(jnp.var(sm)) < 0.5 * float(jnp.var(m))
