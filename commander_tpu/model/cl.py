@@ -134,6 +134,73 @@ def sample_cl_prior(key, cfg: ClModelConfig, nmaps: int, alpha0: float,
     return beta0 / g
 
 
+def _wishart_bartlett(key, scale_chol, nu: float, p: int):
+    """W ~ Wishart(scale, nu) via Bartlett; scale_chol = chol(scale).
+
+    Supports batched leading dims on scale_chol."""
+    kA, kC = jax.random.split(key)
+    batch = scale_chol.shape[:-2]
+    # lower-triangular A: diag sqrt(chi2(nu - i)), offdiag N(0,1)
+    df = nu - jnp.arange(p, dtype=scale_chol.dtype)
+    c2 = 2.0 * jax.random.gamma(kC, jnp.broadcast_to(df / 2.0, batch + (p,)))
+    A = jnp.zeros(batch + (p, p), scale_chol.dtype)
+    tril = jnp.tril_indices(p, -1)
+    n_off = len(tril[0])
+    off = jax.random.normal(kA, batch + (n_off,), scale_chol.dtype)
+    A = A.at[..., tril[0], tril[1]].set(off)
+    A = jnp.where(jnp.eye(p, dtype=bool), jnp.sqrt(c2)[..., None, :], A)
+    LA = scale_chol @ A
+    return LA @ jnp.swapaxes(LA, -1, -2)
+
+
+def sample_cl_binned_invwishart_TE(key, cfg: ClModelConfig, alm: jnp.ndarray):
+    """TE-coupled binned C_ell draw: per bin a 2x2 (T,E) inverse-Wishart
+    block and a scalar inverse-gamma for B.
+
+    The full inverse-Wishart of the reference
+    (sample_Cls_inverse_wishart, comm_Cl_mod.f90:865-1006) for the
+    poltype-1 case. alm: (3, nl, nm) [T, E, B]. Returns
+    (cl_te (nbins, 2, 2), cl_b (nbins,)).
+    """
+    idx = jnp.asarray(bin_index_table(cfg))
+    nbins = len(cfg.bin_starts)
+    nm = alm.shape[-1]
+    eps = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((nm - 1,))])
+    # per-ell 2x2 scatter: S_l[X,Y] = sum_m eps Re(a_X conj(a_Y))
+    prod = jnp.einsum("m,xlm,ylm->xyl", eps, alm[:2], jnp.conj(alm[:2])).real
+    onehot = jax.nn.one_hot(idx, nbins, dtype=prod.dtype)
+    S_b = jnp.einsum("xyl,lb->bxy", prod, onehot)
+    ell = jnp.arange(cfg.lmax + 1, dtype=prod.dtype)
+    nmodes = (2.0 * ell + 1.0) @ onehot
+    # C | a ~ IW(S_b, nu = n_b - p - 1) under the flat prior (p = 2)
+    k1, k2 = jax.random.split(key)
+    nu = jnp.maximum(nmodes - 3.0, 2.1)
+    Sb_reg = S_b + 1e-12 * jnp.eye(2)
+    inv_chol = jnp.linalg.cholesky(jnp.linalg.inv(Sb_reg))
+    keys = jax.random.split(k1, nbins)
+    W = jax.vmap(lambda k, L, n: _wishart_bartlett(k, L, n, 2))(
+        keys, inv_chol, nu)
+    cl_te = jnp.linalg.inv(W + 1e-30 * jnp.eye(2))
+    # B: scalar inverse-gamma
+    sigB = sigma_ell(alm[2:3], cfg.lmax)
+    wl = 2.0 * ell + 1.0
+    sB = jnp.einsum("l,lb->b", (wl * sigB[0]), onehot)
+    g = jax.random.gamma(k2, jnp.maximum((nmodes - 2.0) / 2.0, 0.5))
+    cl_b = (sB / 2.0) / g
+    return cl_te, cl_b
+
+
+def apply_sqrtS_TE(cl_te, cl_b, bin_idx, alm):
+    """Matrix S^1/2 with T-E coupling: alm (3, nl, nm) -> L_l @ alm where
+    L_l = chol(C_l(2x2)) acts on (T,E), sqrt(Cl_B) on B (the reference's
+    sqrtS with poltype-1 coupled blocks, comm_Cl_mod.f90:550-601)."""
+    L = jnp.linalg.cholesky(cl_te + 1e-30 * jnp.eye(2))
+    L_l = L[bin_idx]                                  # (nl, 2, 2)
+    te = jnp.einsum("lxy,ylm->xlm", L_l, alm[:2])
+    b = alm[2:] * jnp.sqrt(jnp.maximum(cl_b[bin_idx], 0.0))[None, :, None]
+    return jnp.concatenate([te, b], axis=0)
+
+
 def sample_cl_powerlaw_amp(key, cfg: ClModelConfig, alm: jnp.ndarray,
                            beta: jnp.ndarray, lmin: int = 2):
     """Conditional amplitude draw for the power_law/exp/gauss Cl models

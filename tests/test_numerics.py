@@ -74,3 +74,40 @@ def test_relquad_template():
     assert 0.1 < t.max() < 10.0               # ~ uK level
     d = solar_dipole_map(16)
     assert abs(d.max() - 3362.08) / 3362.08 < 0.01
+
+
+def test_te_invwishart_moments():
+    """IW draws around a known TE-correlated truth: posterior mean of C
+    approaches S/(nu - p - 1) ~ C_true for many modes."""
+    from commander_tpu.model.cl import (ClModelConfig, bin_index_table,
+                                        sample_cl_binned_invwishart_TE,
+                                        apply_sqrtS_TE)
+    from commander_tpu.sphere.alm import random_alm_white, triangle_mask
+    lmax = 40
+    cfg = ClModelConfig(kind="binned", lmax=lmax, nmaps=3, bin_starts=(0, 20))
+    rng = np.random.default_rng(0)
+    C_true = np.array([[100.0, 30.0], [30.0, 20.0]])
+    clb_true = 5.0
+    nb = len(cfg.bin_starts)
+    cl_te = np.broadcast_to(C_true, (nb, 2, 2)).copy()
+    cl_b = np.full(nb, clb_true)
+    idx = jnp.asarray(bin_index_table(cfg))
+    tri = jnp.asarray(triangle_mask(lmax + 1, lmax + 1))
+    key = jax.random.PRNGKey(1)
+    a = random_alm_white(key, (3, lmax + 1, lmax + 1)) * tri
+    a = apply_sqrtS_TE(jnp.asarray(cl_te), jnp.asarray(cl_b), idx, a)
+    draws_te = []
+    draws_b = []
+    for s in range(40):
+        te, b = sample_cl_binned_invwishart_TE(jax.random.PRNGKey(10 + s),
+                                               cfg, a)
+        draws_te.append(np.asarray(te))
+        draws_b.append(np.asarray(b))
+    m_te = np.mean(draws_te, axis=0)
+    m_b = np.mean(draws_b, axis=0)
+    # ~1700 modes per bin -> posterior tight around the empirical scatter
+    for b_i in range(nb):
+        np.testing.assert_allclose(m_te[b_i], C_true, rtol=0.25, atol=4.0)
+    np.testing.assert_allclose(m_b, clb_true, rtol=0.25)
+    # TE correlation sign preserved
+    assert np.all(m_te[:, 0, 1] > 0)
