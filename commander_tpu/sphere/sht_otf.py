@@ -246,6 +246,72 @@ def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
     return out[..., :nl, :]
 
 
+def synth_spin2_otf(otf_p: LegendreOTF, otf_m: LegendreOTF, cp: jnp.ndarray,
+                    cm: jnp.ndarray, nh: int):
+    """Spin-2 Legendre stage on the fly.
+
+    cp = -(E+iB), cm = -(E-iB) (..., nl, nm). Returns (Sp, Sm) full-ring
+    spectra (..., nring, nm) for the +2 and -2 harmonics, mirroring
+    sht._legendre_synth with (lam_p2, lam_m2) tables:
+      Sp_north = sum_l cp lam+,  Sp_south = sum_l cp (-1)^(l+m) lam-
+      Sm_north = sum_l cm lam-,  Sm_south = sum_l cm (-1)^(l+m) lam+
+    with lam+- regenerated by the mp = -+2 recurrences in one chunk scan.
+    """
+    L, nl, pad_l, nchunks = _chunk_axes(otf_p, cp.ndim - 2)
+    batch = cp.shape[:-2]
+    nm = otf_p.mmax + 1
+    cdt = cp.dtype
+    c2 = jnp.stack([cp, cm])                         # (2, ..., nl, nm)
+    c_pad = jnp.pad(c2, [(0, 0)] * (c2.ndim - 2) + [(0, pad_l), (0, 0)])
+    c_chunks = jnp.moveaxis(
+        c_pad.reshape(2, *batch, nchunks, L, nm), -3, 0)
+
+    def chunk_body(carry, xs):
+        rec_p, rec_m, Ep, Op, Em, Om = carry
+        c_c, l0 = xs                                  # c_c (2, ..., L, nm)
+        ls = l0 + jnp.arange(L, dtype=jnp.int32)
+        rec_p, lam_p = jax.lax.scan(partial(_rec_step, otf_p), rec_p, ls)
+        rec_m, lam_m = jax.lax.scan(partial(_rec_step, otf_m), rec_m, ls)
+        even = _even_weights(otf_p, ls)
+        ce = c_c * even
+        co = c_c * (1.0 - even)
+        # E/O accumulators against both tables: index [coeff(2), ...]
+        Ep = Ep + jnp.einsum("k...lm,lrm->k...rm", ce, lam_p)
+        Op = Op + jnp.einsum("k...lm,lrm->k...rm", co, lam_p)
+        Em = Em + jnp.einsum("k...lm,lrm->k...rm", ce, lam_m)
+        Om = Om + jnp.einsum("k...lm,lrm->k...rm", co, lam_m)
+        return (rec_p, rec_m, Ep, Op, Em, Om), None
+
+    z = jnp.zeros((2,) + batch + (nh, nm), cdt)
+    l0s = jnp.arange(nchunks, dtype=jnp.int32) * L
+    (rp, rm, Ep, Op, Em, Om), _ = jax.lax.scan(
+        chunk_body, (_init_rec_carry(otf_p), _init_rec_carry(otf_m),
+                     z, z, z, z), (c_chunks, l0s))
+
+    def full(north, south_half):
+        south = jnp.flip(south_half[..., : nh - 1, :], axis=-2)
+        return jnp.concatenate([north, south], axis=-2)
+
+    Sp = full(Ep[0] + Op[0], Em[0] - Om[0])
+    Sm = full(Em[1] + Om[1], Ep[1] - Op[1])
+    return Sp, Sm
+
+
+def alm2map_spin2_otf(plan: SHTPlan, otf_p: LegendreOTF, otf_m: LegendreOTF,
+                      alm_E: jnp.ndarray, alm_B: jnp.ndarray):
+    """Spin-2 synthesis without tables (same semantics as
+    sht.alm2map_spin2)."""
+    cp = -(alm_E + 1j * alm_B).astype(plan.cdtype)
+    cm = -(alm_E - 1j * alm_B).astype(plan.cdtype)
+    Sp, Sm = synth_spin2_otf(otf_p, otf_m, cp, cm, plan.nh)
+    mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((plan.mmax,))]
+                           ).astype(plan.rdtype)
+    P = ring_synthesis(plan, Sp) + jnp.conj(ring_synthesis(plan, Sm * mpos))
+    Q = _gather_pix(plan, P.real.astype(plan.rdtype))
+    U = _gather_pix(plan, P.imag.astype(plan.rdtype))
+    return Q, U
+
+
 # ---------------------------------------------------------------------------
 # Public transforms (spin 0)
 # ---------------------------------------------------------------------------

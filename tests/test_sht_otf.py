@@ -46,3 +46,23 @@ def test_otf_f32_scaling_stability():
     rel = np.abs(m_t - m_o).max() / np.abs(m_t).max()
     assert rel < 5e-5, rel
     assert np.isfinite(m_o).all()
+
+
+def test_spin2_otf_matches_tables():
+    nside, lmax = 16, 32
+    plan_t = sht.get_plan(nside, lmax, spin2=True)
+    plan = sht.get_plan(nside, lmax, tables=False)
+    otf_p = legendre_otf(nside, lmax, -2, dtype="float64", chunk=16)
+    otf_m = legendre_otf(nside, lmax, 2, dtype="float64", chunk=16)
+    from commander_tpu.sphere.sht_otf import alm2map_spin2_otf
+    rng = np.random.default_rng(3)
+    aE = rand_alm(rng, lmax)[0]
+    aB = rand_alm(rng, lmax)[0]
+    aE[:2] = 0
+    aB[:2] = 0
+    Q_t, U_t = sht.alm2map_spin2(plan_t, jnp.asarray(aE), jnp.asarray(aB))
+    Q_o, U_o = alm2map_spin2_otf(plan, otf_p, otf_m, jnp.asarray(aE),
+                                 jnp.asarray(aB))
+    scale = np.abs(np.asarray(Q_t)).max()
+    assert np.abs(np.asarray(Q_o) - np.asarray(Q_t)).max() < 1e-9 * scale
+    assert np.abs(np.asarray(U_o) - np.asarray(U_t)).max() < 1e-9 * scale
