@@ -312,6 +312,14 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     timer.stop("init")
     status.update("init done")
 
+    # plan is passed as a pytree ARGUMENT to every jit: closing over it
+    # bakes the Legendre tables in as constants (slow XLA constant folding,
+    # and constant embedding breaks the restricted TPU runtime).
+    from functools import partial as _partial
+    sky_fn = jax.jit(sky_signal)
+    chisq_fn = jax.jit(lambda s, p, a: compute_chisq(s, p, a)[0])
+    step = jax.jit(_partial(gibbs.gibbs_step, gcfg))
+
     tod_blocks = {}
     if tod and cfg.enable_tod:
         # presample amplitudes from the initial band maps so the first TOD
@@ -325,13 +333,10 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             lambda tcfg, block, tstate, sky, k: process_tod(
                 tcfg, block, tstate, sky, pvec, k),
             static_argnums=0)
-        sky_at_band = jax.jit(lambda s, a: sky_signal(s, plan, a))
         tkey0 = jax.random.fold_in(key, 772)
-        _tod_burnin(tod_blocks, tod_step, sky_at_band(sys, state.a), tkey0)
+        _tod_burnin(tod_blocks, tod_step, sky_fn(sys, plan, state.a), tkey0)
         status.update(f"tod init: {len(tod_blocks)} bands (burned in)")
 
-    chisq_fn = jax.jit(lambda s, a: compute_chisq(s, plan, a)[0])
-    step = jax.jit(lambda s, st: gibbs.gibbs_step(gcfg, s, plan, st))
     tkey = jax.random.fold_in(key, 991)
     skey = jax.random.fold_in(key, 552)
     thetas = [tuple(d.theta0) for d in diffuse]
@@ -342,7 +347,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         # (process_TOD, commander.f90:274-399) ---
         if tod_blocks:
             timer.start("tod")
-            sky_bands = sky_at_band(sys, state.a)
+            sky_bands = sky_fn(sys, plan, state.a)
             new_data = np.array(np.asarray(sys.data))
             with np.errstate(divide="ignore"):
                 new_rms = np.array(1.0 / np.maximum(np.asarray(sys.inv_rms),
@@ -365,7 +370,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             status.update(f"iter {it} tod done")
 
         timer.start("gibbs")
-        state = step(sys, state)
+        state = step(sys, plan, state)
         jax.block_until_ready(state.a)
         dt = timer.stop("gibbs")
 
@@ -381,15 +386,14 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         if any(b.sample_gain for b in cfg.bands):
             from .sampling.gain import sample_gain as _sg
             skey, gk = jax.random.split(skey)
-            s_b = sky_at_band(sys, state.a) if tod_blocks else \
-                jax.jit(lambda s, a: sky_signal(s, plan, a))(sys, state.a)
+            s_b = sky_fn(sys, plan, state.a)
             g = np.asarray(_sg(gk, sys.data, s_b, sys.inv_rms2,
                                prior_mean=1.0, prior_std=0.1))
             for b, band in enumerate(cfg.bands):
                 if band.sample_gain:
                     gains[b] = g[b]
 
-        chi2 = float(chisq_fn(sys, state.a))
+        chi2 = float(chisq_fn(sys, plan, state.a))
         status.update(f"iter {it} cg={int(state.cg_iters)} "
                       f"relres={float(state.cg_relres):.2e} chisq={chi2:.1f}")
         if verbose:
@@ -404,15 +408,14 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             if cfg.output_chisq_map or cfg.output_residual_maps:
                 from .io import fits as fitsio
                 from .sampling.chisq import compute_chisq as _cc
-                _, cmap, _ = jax.jit(lambda s, a: _cc(s, plan, a))(sys, state.a)
+                _, cmap, _ = jax.jit(_cc)(sys, plan, state.a)
                 if cfg.output_chisq_map:
                     fitsio.write_map(
                         os.path.join(outdir, f"chisq_k{it:06d}.fits"),
                         np.asarray(cmap.sum(axis=0)), unit="chisq")
                 if cfg.output_residual_maps:
                     res_b = np.asarray(sys.data) - np.asarray(
-                        sky_at_band(sys, state.a) if tod_blocks else
-                        jax.jit(lambda s, a: sky_signal(s, plan, a))(sys, state.a))
+                        sky_fn(sys, plan, state.a))
                     for b, band in enumerate(cfg.bands):
                         fitsio.write_map(
                             os.path.join(outdir,
