@@ -42,7 +42,7 @@ def _comp_to_diffuse(c):
 
 
 def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
-                data_dir=None, dtype="float64"):
+                data_dir=None, dtype="float64", pol=False):
     """Lower RunConfig into the runtime objects (plan, system, components).
 
     Mirrors initialize_data_mod + initialize_signal_mod (comm_data_mod.f90:74,
@@ -70,7 +70,10 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     lmax = lmax or min(2 * nside, min(b.lmax for b in cfg.bands))
     nl = lmax + 1
     npix = 12 * nside * nside
-    plan = sht.get_plan(nside, lmax, dtype=dtype)
+    # polarized run when requested and the configuration supports it
+    pol = pol and all(b.polarized for b in cfg.bands)
+    S = 3 if pol else 1
+    plan = sht.get_plan(nside, lmax, dtype=dtype, spin2=pol)
 
     bps = []
     for b in cfg.bands:
@@ -86,37 +89,46 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
         gaussian_bl(max(b.beam_fwhm_arcmin, 1e-3) or 60.0, lmax) * pw
         if b.beam_fwhm_arcmin else gaussian_bl(60.0, lmax) * pw
         for b in cfg.bands]).astype(dtype)[:, None, :]
+    bl = np.broadcast_to(bl, (len(cfg.bands), S, nl)).copy()
 
     # C_ell prior models: one shared config (per-comp params), power_law or
     # binned per the parameter file.
     bin_starts = tuple(int(x) for x in
                        np.unique(np.concatenate([[0, 2],
                                 np.geomspace(4, max(lmax, 5), 10).astype(int)])))
-    cl_cfg = ClModelConfig(kind="binned", lmax=lmax, nmaps=1,
+    cl_cfg = ClModelConfig(kind="binned", lmax=lmax, nmaps=S,
                            bin_starts=bin_starts)
     ell = np.arange(nl, dtype=np.float64)
+
+    def _cl_row(c, stokes):
+        amp = c.cl_amp_def[min(stokes, 2)] or 1.0
+        beta = c.cl_beta_def[min(stokes, 2)] or 0.0
+        dl = (np.asarray(amp) * (np.maximum(ell, 1) / max(c.cl_lpivot, 1))
+              ** beta)
+        cl = 2 * np.pi * dl / np.maximum(ell * (ell + 1), 1)
+        cl[0] = cl[1]
+        if stokes > 0:
+            cl[:2] = 0.0   # no E/B below l=2
+        return cl
+
     cl0 = np.stack([
-        (np.asarray(c.cl_amp_def[0] or 1.0)
-         * (np.maximum(ell, 1) / max(c.cl_lpivot, 1))
-         ** (c.cl_beta_def[0] or 0.0)) * 2 * np.pi
-        / np.maximum(ell * (ell + 1), 1)
+        np.stack([_cl_row(c, st) for st in range(S)])
         for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
-        ("md", "cmb_relquad", "template")]).astype(dtype)[:, None, :]
-    cl0[..., 0] = cl0[..., 1]
+        ("md", "cmb_relquad", "template")]).astype(dtype)
 
     rng = np.random.default_rng(seed)
-    rms = np.full((len(cfg.bands), 1, npix), 10.0, dtype)
+    rms = np.full((len(cfg.bands), S, npix), 10.0, dtype)
     if synthetic:
         import jax.random as jr
         key = jr.PRNGKey(seed)
         a_true = apply_sqrtS(jnp.asarray(cl0),
-                             random_alm_white(key, (len(diffuse), 1, nl, nl)))
+                             random_alm_white(key, (len(diffuse), S, nl, nl)))
         a_true = a_true * jnp.asarray(triangle_mask(nl, nl))
         sys0 = amp.build_system(jnp.asarray(F), jnp.asarray(bl),
                                 jnp.asarray(rms), jnp.asarray(cl0),
-                                jnp.zeros((len(cfg.bands), 1, npix), dtype))
+                                jnp.zeros((len(cfg.bands), S, npix), dtype))
         alm_b = amp._project_bands(sys0, plan, a_true)
-        sky = np.asarray(sht.alm2map(plan, alm_b))
+        sky = np.asarray(amp._synth(plan, alm_b))
         data = sky + rms * rng.standard_normal(sky.shape)
         truth = np.asarray(jnp.stack([a_true.real, a_true.imag]))
     else:
@@ -124,7 +136,7 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
         for b in cfg.bands:
             path = os.path.join(data_dir or ".", b.mapfile or "")
             if b.mapfile and os.path.exists(path):
-                m = fitsio.read_map(path)[:1]
+                m = fitsio.read_map(path)[:S]
                 mns = int(np.sqrt(m.shape[1] / 12))
                 if mns != nside:
                     idx = healpix.udgrade_indices(mns, nside)
@@ -132,7 +144,7 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                          else m[:, idx])
                 maps.append(m.astype(dtype))
             else:
-                maps.append(np.zeros((1, npix), dtype))
+                maps.append(np.zeros((S, npix), dtype))
             npath = os.path.join(data_dir or ".", b.noisefile or "")
             if b.noisefile and os.path.exists(npath):
                 r = fitsio.read_map(npath)[:1]
@@ -147,7 +159,7 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
 
     sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
                            jnp.asarray(cl0), jnp.asarray(data))
-    meta = {"nside": nside, "lmax": lmax,
+    meta = {"nside": nside, "lmax": lmax, "nmaps": S,
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in cfg.bands]}
     # pair each runtime diffuse component with its parameter-file config
@@ -249,7 +261,8 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
 
 
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
-        outdir=None, dtype="float64", verbose=True, tod=False, chain=1):
+        outdir=None, dtype="float64", verbose=True, tod=False, chain=1,
+        pol=False):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -270,7 +283,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
 
     timer.start("init")
     plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs = build_model(
-        cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype)
+        cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype,
+        pol=pol)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
                              cg_maxiter=cfg.cg_maxiter,
                              sample_cl=cfg.sample_powspec,
@@ -295,7 +309,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     # (replaces the reference's per-rank seed scrambling,
     # comm_param_mod.f90:334-357)
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed), chain)
-    state = gibbs.init_state(key, len(diffuse), 1, meta["lmax"], nbins)
+    state = gibbs.init_state(key, len(diffuse), meta["nmaps"],
+                             meta["lmax"], nbins)
     # seed Cl bins from the prior model
     from .model.cl import bin_index_table
     idx = bin_index_table(cl_cfg)
@@ -454,6 +469,8 @@ def main(argv=None):
                     help="simulate data from the prior model")
     ap.add_argument("--tod", action="store_true",
                     help="run the TOD layer (synthetic TOD per TOD band)")
+    ap.add_argument("--pol", action="store_true",
+                    help="polarized run (T,Q,U; requires polarized bands)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--f32", action="store_true", help="float32 (TPU native)")
@@ -470,7 +487,7 @@ def main(argv=None):
     for chain in range(1, max(cfg.numchain, 1) + 1):
         run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
             niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod,
-            chain=chain)
+            chain=chain, pol=args.pol)
 
 
 if __name__ == "__main__":
