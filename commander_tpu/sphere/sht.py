@@ -46,7 +46,7 @@ from .wigner import spin_lambda_north
     jax.tree_util.register_dataclass,
     data_fields=["lam0", "lam_p2", "lam_m2", "parity", "lmmask", "synth_A",
                  "synth_Vh", "synth_B", "ana_A", "ana_Vh", "ana_B", "pix_idx",
-                 "pad_src", "pad_valid", "ring_weight", "qw"],
+                 "pad_src", "pad_valid", "ring_weight", "qw", "otf0"],
     meta_fields=["nside", "lmax", "mmax", "rdtype", "cdtype", "Ls", "La"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +78,9 @@ class SHTPlan:
     pad_valid: jax.Array     # (nring*pmax,) rdtype 0/1 mask
     ring_weight: jax.Array   # (nring,) quadrature weight per pixel of each ring
     qw: jax.Array            # (nring,) = ring_weight (alias kept for clarity)
+    # On-the-fly Legendre recurrence (sht_otf.LegendreOTF) used instead of
+    # the lam0 table when tables=False — enables lmax beyond table memory.
+    otf0: object = None
 
     @property
     def nh(self) -> int:
@@ -168,6 +171,12 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
 
     # cast on host first: the TPU backend cannot ingest float64 buffers,
     # and device-side convert_element_type would require an f64 H2D.
+    otf0 = None
+    if not tables:
+        from .sht_otf import legendre_otf
+        otf0 = legendre_otf(nside, lmax, 0, dtype=dtype,
+                            chunk=min(64, lmax + 1), mmax=mmax)
+
     dev = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(rdtype)))
     devc = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(cdtype)))
     return SHTPlan(
@@ -183,6 +192,7 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
         pad_src=jnp.asarray(pad_src.astype(np.int32)),
         pad_valid=dev(pad_valid),
         ring_weight=dev(w), qw=dev(w),
+        otf0=otf0,
     )
 
 
@@ -271,9 +281,13 @@ def _legendre_adjoint(plan: SHTPlan, F: jax.Array, lam: jax.Array,
 def alm2map(plan: SHTPlan, alm: jax.Array) -> jax.Array:
     """Y: alm (..., lmax+1, mmax+1) complex -> map (..., npix) real.
 
-    Reference semantics: comm_map_mod.f90:437-455 (Y).
+    Reference semantics: comm_map_mod.f90:437-455 (Y). Dispatches to the
+    on-the-fly Legendre path when the plan was built with tables=False.
     """
     alm = alm.astype(plan.cdtype)
+    if plan.lam0 is None:
+        from .sht_otf import alm2map_otf
+        return alm2map_otf(plan, plan.otf0, alm)
     F = _legendre_synth(plan, alm, plan.lam0, plan.lam0)
     # real field: f = Re( G_0 + sum_{m>=1} 2 G_m e^{im phi} )
     scale = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((plan.mmax,))]).astype(plan.rdtype)
@@ -288,6 +302,9 @@ def alm2map_adjoint(plan: SHTPlan, maps: jax.Array) -> jax.Array:
     """
     fpad = _pad_to_rings(plan, maps).astype(plan.cdtype)
     F = ring_analysis(plan, fpad)
+    if plan.lam0 is None:
+        from .sht_otf import adjoint_from_ring_spectra
+        return adjoint_from_ring_spectra(plan, plan.otf0, F)
     return _legendre_adjoint(plan, F, plan.lam0, plan.lam0)
 
 
@@ -299,6 +316,9 @@ def map2alm(plan: SHTPlan, maps: jax.Array) -> jax.Array:
     w = plan.ring_weight
     fpad = _pad_to_rings(plan, maps) * w[:, None]
     F = ring_analysis(plan, fpad.astype(plan.cdtype))
+    if plan.lam0 is None:
+        from .sht_otf import adjoint_from_ring_spectra
+        return adjoint_from_ring_spectra(plan, plan.otf0, F)
     return _legendre_adjoint(plan, F, plan.lam0, plan.lam0)
 
 

@@ -328,13 +328,20 @@ def alm2map_otf(plan: SHTPlan, otf: LegendreOTF, alm: jnp.ndarray):
     return _gather_pix(plan, f.real.astype(plan.rdtype))
 
 
-def map2alm_otf(plan: SHTPlan, otf: LegendreOTF, maps: jnp.ndarray):
-    """YtW without tables: same semantics as sht.map2alm."""
-    w = plan.ring_weight
-    fpad = _pad_to_rings(plan, maps) * w[:, None]
-    F = ring_analysis(plan, fpad.astype(plan.cdtype))
+def adjoint_from_ring_spectra(plan: SHTPlan, otf: LegendreOTF,
+                              F: jnp.ndarray):
+    """Legendre-adjoint of full-ring spectra F (..., nring, nm) on the fly
+    (the tail shared by Yt and YtW)."""
     F_n = F[..., : plan.nh, :]
     F_s = jnp.flip(F[..., plan.nh:, :], axis=-2)
     pad = plan.nh - 1 - F_s.shape[-2]
     F_s = jnp.pad(F_s, [(0, 0)] * (F_s.ndim - 2) + [(0, pad + 1), (0, 0)])
     return adjoint_legendre_otf(otf, F_n, F_s)
+
+
+def map2alm_otf(plan: SHTPlan, otf: LegendreOTF, maps: jnp.ndarray):
+    """YtW without tables: same semantics as sht.map2alm."""
+    w = plan.ring_weight
+    fpad = _pad_to_rings(plan, maps) * w[:, None]
+    F = ring_analysis(plan, fpad.astype(plan.cdtype))
+    return adjoint_from_ring_spectra(plan, otf, F)

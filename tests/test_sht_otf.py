@@ -66,3 +66,40 @@ def test_spin2_otf_matches_tables():
     scale = np.abs(np.asarray(Q_t)).max()
     assert np.abs(np.asarray(Q_o) - np.asarray(Q_t)).max() < 1e-9 * scale
     assert np.abs(np.asarray(U_o) - np.asarray(U_t)).max() < 1e-9 * scale
+
+
+def test_tableless_plan_dispatch():
+    """Plans built with tables=False run the full CG via OTF transparently."""
+    import jax
+    from functools import partial
+    from commander_tpu.sampling import amplitude as amp
+    from commander_tpu.instrument.beam import gaussian_bl
+    nside, lmax = 8, 16
+    sht.get_plan.cache_clear()
+    plan_t = sht.get_plan(nside, lmax)
+    plan_o = sht.get_plan(nside, lmax, tables=False)
+    alm = rand_alm(np.random.default_rng(5), lmax)
+    np.testing.assert_allclose(
+        np.asarray(sht.alm2map(plan_o, jnp.asarray(alm))),
+        np.asarray(sht.alm2map(plan_t, jnp.asarray(alm))), atol=1e-10)
+    m = np.random.default_rng(6).standard_normal(12 * nside * nside)
+    np.testing.assert_allclose(
+        np.asarray(sht.alm2map_adjoint(plan_o, jnp.asarray(m))),
+        np.asarray(sht.alm2map_adjoint(plan_t, jnp.asarray(m))), atol=1e-10)
+    # CG amplitude solve through the tableless plan
+    nl = lmax + 1
+    npix = 12 * nside * nside
+    F = np.ones((2, 1, 1))
+    bl = gaussian_bl(600.0, lmax)[None, None, :].repeat(2, 0)
+    ell = np.arange(nl)
+    cl = (1e3 / (1 + ell * (ell + 1.0)))[None, None, :]
+    rms = np.full((2, 1, npix), 5.0)
+    data = np.random.default_rng(7).standard_normal((2, 1, npix)) * 10
+    sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
+                           jnp.asarray(cl), jnp.asarray(data))
+    a_o, res_o = amp.sample_amplitudes(sys, plan_o, key=None, tol=1e-9,
+                                       maxiter=200)
+    a_t, res_t = amp.sample_amplitudes(sys, plan_t, key=None, tol=1e-9,
+                                       maxiter=200)
+    assert res_o.converged and res_t.converged
+    np.testing.assert_allclose(np.asarray(a_o), np.asarray(a_t), atol=1e-7)
