@@ -157,8 +157,23 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
         data = np.stack(maps)
         truth = None
 
+    # band masks (BAND_MASKFILE; 'fullsky' or missing file -> all ones)
+    mask = np.ones((len(cfg.bands), S, npix), dtype)
+    for b_i, b in enumerate(cfg.bands):
+        if b.maskfile and str(b.maskfile).lower() not in ("fullsky", "none"):
+            mpath = os.path.join(data_dir or ".", str(b.maskfile))
+            if os.path.exists(mpath):
+                mm = fitsio.read_map(mpath)
+                mns = int(np.sqrt(mm.shape[1] / 12))
+                if mns != nside:
+                    idx = healpix.udgrade_indices(mns, nside)
+                    mm = mm[:, idx].mean(axis=-1) if idx.ndim == 2 else mm[:, idx]
+                mm = (mm > 0.5).astype(dtype)
+                mask[b_i] = mm[:S] if mm.shape[0] >= S else mm[0]
+
     sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
-                           jnp.asarray(cl0), jnp.asarray(data))
+                           jnp.asarray(cl0), jnp.asarray(data),
+                           mask=jnp.asarray(mask))
     meta = {"nside": nside, "lmax": lmax, "nmaps": S,
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in cfg.bands]}
@@ -262,7 +277,7 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
 
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         outdir=None, dtype="float64", verbose=True, tod=False, chain=1,
-        pol=False):
+        pol=False, data_dir=None):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -284,7 +299,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     timer.start("init")
     plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs = build_model(
         cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype,
-        pol=pol)
+        pol=pol, data_dir=data_dir)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
                              cg_maxiter=cfg.cg_maxiter,
                              sample_cl=cfg.sample_powspec,
@@ -471,6 +486,8 @@ def main(argv=None):
                     help="run the TOD layer (synthetic TOD per TOD band)")
     ap.add_argument("--pol", action="store_true",
                     help="polarized run (T,Q,U; requires polarized bands)")
+    ap.add_argument("--data-dir", default=None,
+                    help="directory for map/noise/mask files (DATA_DIRECTORY)")
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--f32", action="store_true", help="float32 (TPU native)")
@@ -487,7 +504,7 @@ def main(argv=None):
     for chain in range(1, max(cfg.numchain, 1) + 1):
         run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
             niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod,
-            chain=chain, pol=args.pol)
+            chain=chain, pol=args.pol, data_dir=args.data_dir)
 
 
 if __name__ == "__main__":
