@@ -180,7 +180,34 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     # pair each runtime diffuse component with its parameter-file config
     pcfgs = [c for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
              ("md", "cmb_relquad", "template")]
-    return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs
+
+    # --- md components and point sources (joint linear amplitudes) -------
+    from .sampling import joint as joint_mod
+    ts = ps = None
+    if any(c.ctype == "md" for c in cfg.comps):
+        ts = joint_mod.make_md_templates(nside, len(cfg.bands), nmaps=S,
+                                         dtype=np.dtype(dtype).type)
+        # weak Gaussian priors anchor the md degeneracy with l<=1 diffuse
+        ts = dataclasses.replace(
+            ts, prior_istd=jnp.full(ts.maps.shape[0], 1e-2, dtype))
+    ptsrc_cfgs = [c for c in cfg.comps if c.cclass == "ptsrc"]
+    if ptsrc_cfgs and synthetic:
+        nsrc = 20
+        src_pix = rng.choice(npix, size=nsrc, replace=False)
+        beta_src = -2.5
+        F_src = np.stack([(b.nominal_freq_ghz / 30.0) ** beta_src
+                          * np.ones(nsrc) for b in cfg.bands])
+        fwhms = np.asarray([max(b.beam_fwhm_arcmin, 60.0)
+                            for b in cfg.bands])
+        ps = joint_mod.gaussian_stamp_ptsrc(
+            nside, src_pix, F_src, fwhms, nmaps=S,
+            npatch=min(32, npix // 4), dtype=np.dtype(dtype).type)
+        # inject true source fluxes into the synthetic data
+        p_true = np.abs(rng.standard_normal(nsrc)) * 2.0 + 1.0
+        extra = joint_mod._ptsrc_fwd(ps, jnp.asarray(p_true, dtype), npix)
+        sys = dataclasses.replace(sys, data=sys.data + extra)
+        meta["nsrc"] = nsrc
+    return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps
 
 
 def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
@@ -297,7 +324,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     status.update("init start")
 
     timer.start("init")
-    plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs = build_model(
+    (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs,
+     ts, ps) = build_model(
         cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype,
         pol=pol, data_dir=data_dir)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
@@ -324,8 +352,10 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     # (replaces the reference's per-rank seed scrambling,
     # comm_param_mod.f90:334-357)
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed), chain)
-    state = gibbs.init_state(key, len(diffuse), meta["nmaps"],
-                             meta["lmax"], nbins)
+    state = gibbs.init_state(
+        key, len(diffuse), meta["nmaps"], meta["lmax"], nbins,
+        ntemp=0 if ts is None else int(ts.maps.shape[0]),
+        nsrc=0 if ps is None else int(ps.pix.shape[0]))
     # seed Cl bins from the prior model
     from .model.cl import bin_index_table
     idx = bin_index_table(cl_cfg)
@@ -346,16 +376,32 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     # bakes the Legendre tables in as constants (slow XLA constant folding,
     # and constant embedding breaks the restricted TPU runtime).
     from functools import partial as _partial
+    from .sampling import joint as joint_mod
+
+    def _full_sky(s, p, st):
+        sky = sky_signal(s, p, st.a)
+        if ts is not None and st.t is not None:
+            sky = sky + joint_mod._templates_fwd(ts, st.t)
+        if ps is not None and st.p is not None:
+            sky = sky + joint_mod._ptsrc_fwd(ps, st.p, sky.shape[-1])
+        return sky
+
+    sky_fn_state = jax.jit(_full_sky)
     sky_fn = jax.jit(sky_signal)
-    chisq_fn = jax.jit(lambda s, p, a: compute_chisq(s, p, a)[0])
-    step = jax.jit(_partial(gibbs.gibbs_step, gcfg))
+
+    def _chisq(s, p, st):
+        r = s.data - _full_sky(s, p, st)
+        return jnp.sum(jnp.square(r) * s.inv_rms2)
+    chisq_fn = jax.jit(_chisq)
+    step = jax.jit(lambda s, p, st, _ts, _ps: gibbs.gibbs_step(
+        gcfg, s, p, st, _ts, _ps))
 
     tod_blocks = {}
     if tod and cfg.enable_tod:
         # presample amplitudes from the initial band maps so the first TOD
         # pass sees a real sky model (the reference warm-starts from init
         # maps / chains, comm_signal_mod initialize_from_chain)
-        state = gibbs.gibbs_step(gcfg, sys, plan, state)
+        state = gibbs.gibbs_step(gcfg, sys, plan, state, ts, ps)
         tod_blocks = _setup_synthetic_tod(cfg, plan, sys, diffuse,
                                           meta["nside"], seed=cfg.base_seed)
         pvec = jnp.asarray(healpix.pix2vec_ring(meta["nside"]))
@@ -400,7 +446,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             status.update(f"iter {it} tod done")
 
         timer.start("gibbs")
-        state = step(sys, plan, state)
+        state = step(sys, plan, state, ts, ps)
         jax.block_until_ready(state.a)
         dt = timer.stop("gibbs")
 
@@ -423,7 +469,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 if band.sample_gain:
                     gains[b] = g[b]
 
-        chi2 = float(chisq_fn(sys, plan, state.a))
+        chi2 = float(chisq_fn(sys, plan, state))
         status.update(f"iter {it} cg={int(state.cg_iters)} "
                       f"relres={float(state.cg_relres):.2e} chisq={chi2:.1f}")
         if verbose:
@@ -459,9 +505,12 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 d.name: {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
                          "specind": np.asarray(thetas[i], np.float64)}
                 for i, d in enumerate(diffuse)}
-            ch.write_sample(it, comps_out, gains=gains,
-                            extra={"chisq": chi2,
-                                   "cg_iters": int(state.cg_iters)})
+            extra = {"chisq": chi2, "cg_iters": int(state.cg_iters)}
+            if state.t is not None:
+                extra["md_amps"] = np.asarray(state.t)
+            if state.p is not None:
+                extra["ptsrc_amps"] = np.asarray(state.p)
+            ch.write_sample(it, comps_out, gains=gains, extra=extra)
             timer.stop("output")
     ch.close()
     status.update("done")

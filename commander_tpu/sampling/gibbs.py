@@ -36,6 +36,9 @@ class GibbsState:
     it: jnp.ndarray         # iteration counter
     cg_iters: jnp.ndarray   # diagnostics: last CG iteration count
     cg_relres: jnp.ndarray  # diagnostics: last CG relative residual
+    # joint linear amplitudes (None when the model has none):
+    t: jnp.ndarray | None = None   # template/md amplitudes (T,)
+    p: jnp.ndarray | None = None   # point-source amplitudes (nsrc,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,28 +54,44 @@ class GibbsConfig:
     optimize: bool = False
 
 
-def init_state(key, ncomp, nmaps, lmax, nbins, cl0=1.0) -> GibbsState:
+def init_state(key, ncomp, nmaps, lmax, nbins, cl0=1.0, ntemp=0,
+               nsrc=0) -> GibbsState:
     nl = lmax + 1
+    rdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     a = jnp.zeros((ncomp, nmaps, nl, nl), dtype=jnp.complex128
                   if jax.config.jax_enable_x64 else jnp.complex64)
-    cl_bins = jnp.full((ncomp, nmaps, nbins), cl0, dtype=jnp.float64
-                       if jax.config.jax_enable_x64 else jnp.float32)
+    cl_bins = jnp.full((ncomp, nmaps, nbins), cl0, dtype=rdt)
     z = jnp.asarray(0)
     return GibbsState(a=a, cl_bins=cl_bins, key=key, it=z,
-                      cg_iters=z, cg_relres=jnp.asarray(0.0))
+                      cg_iters=z, cg_relres=jnp.asarray(0.0),
+                      t=jnp.zeros((ntemp,), rdt) if ntemp else None,
+                      p=jnp.zeros((nsrc,), rdt) if nsrc else None)
 
 
 def gibbs_step(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan,
-               state: GibbsState) -> GibbsState:
-    """One full Gibbs iteration (jittable; vmap over chains works)."""
+               state: GibbsState, ts=None, ps=None) -> GibbsState:
+    """One full Gibbs iteration (jittable; vmap over chains works).
+
+    ts/ps: optional TemplateSet / PtsrcSet (sampling/joint.py) — when
+    present the amplitude step solves the JOINT system
+    [diffuse alms | template amps | source amps] like the reference's
+    full solution vector (cr_amp2x)."""
     key, k_amp, k_cl = jax.random.split(state.key, 3)
 
     # 1. amplitudes | Cl  (comm_signal_mod.f90:154 sample_amps_by_CG)
     cl = jax.vmap(lambda b: cl_eval(cfg.cl_cfg, {"cl_bins": b}))(state.cl_bins)
     sys = dataclasses.replace(base_sys, cl=cl)
-    a, res = amp.sample_amplitudes(sys, plan,
-                                   key=None if cfg.optimize else k_amp,
-                                   tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+    t_new, p_new = state.t, state.p
+    if ts is not None or ps is not None:
+        from . import joint
+        x, res = joint.sample_joint(sys, plan, ts, ps,
+                                    key=None if cfg.optimize else k_amp,
+                                    tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+        a, t_new, p_new = x.a, x.t, x.p
+    else:
+        a, res = amp.sample_amplitudes(sys, plan,
+                                       key=None if cfg.optimize else k_amp,
+                                       tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
 
     # 2. Cl | amplitudes  (comm_signal_mod.f90:435 sample_powspec ->
     #    comm_Cl_mod.f90:865 inverse-Wishart, diagonal-Stokes reduction)
@@ -97,7 +116,8 @@ def gibbs_step(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan,
         cl_bins = state.cl_bins
 
     return GibbsState(a=a, cl_bins=cl_bins, key=key, it=state.it + 1,
-                      cg_iters=res.iters, cg_relres=res.rel_res)
+                      cg_iters=res.iters, cg_relres=res.rel_res,
+                      t=t_new, p=p_new)
 
 
 def make_step_fn(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan):
