@@ -410,7 +410,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 tcfg, block, tstate, sky, pvec, k),
             static_argnums=0)
         tkey0 = jax.random.fold_in(key, 772)
-        _tod_burnin(tod_blocks, tod_step, sky_fn(sys, plan, state.a), tkey0)
+        _tod_burnin(tod_blocks, tod_step, sky_fn_state(sys, plan, state),
+                    tkey0)
         status.update(f"tod init: {len(tod_blocks)} bands (burned in)")
 
     tkey = jax.random.fold_in(key, 991)
@@ -423,7 +424,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         # (process_TOD, commander.f90:274-399) ---
         if tod_blocks:
             timer.start("tod")
-            sky_bands = sky_fn(sys, plan, state.a)
+            sky_bands = sky_fn_state(sys, plan, state)
             new_data = np.array(np.asarray(sys.data))
             with np.errstate(divide="ignore"):
                 new_rms = np.array(1.0 / np.maximum(np.asarray(sys.inv_rms),
@@ -462,7 +463,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         if any(b.sample_gain for b in cfg.bands):
             from .sampling.gain import sample_gain as _sg
             skey, gk = jax.random.split(skey)
-            s_b = sky_fn(sys, plan, state.a)
+            s_b = sky_fn_state(sys, plan, state)
             g = np.asarray(_sg(gk, sys.data, s_b, sys.inv_rms2,
                                prior_mean=1.0, prior_std=0.1))
             for b, band in enumerate(cfg.bands):
@@ -491,7 +492,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                         np.asarray(cmap.sum(axis=0)), unit="chisq")
                 if cfg.output_residual_maps:
                     res_b = np.asarray(sys.data) - np.asarray(
-                        sky_fn(sys, plan, state.a))
+                        sky_fn_state(sys, plan, state))
                     for b, band in enumerate(cfg.bands):
                         fitsio.write_map(
                             os.path.join(outdir,
