@@ -202,11 +202,13 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
         ps = joint_mod.gaussian_stamp_ptsrc(
             nside, src_pix, F_src, fwhms, nmaps=S,
             npatch=min(32, npix // 4), dtype=np.dtype(dtype).type)
-        # inject true source fluxes into the synthetic data
-        p_true = np.abs(rng.standard_normal(nsrc)) * 2.0 + 1.0
+        # inject true source fluxes into the synthetic data (bright
+        # enough to be detected at the synthetic noise level)
+        p_true = np.abs(rng.standard_normal(nsrc)) * 50.0 + 50.0
         extra = joint_mod._ptsrc_fwd(ps, jnp.asarray(p_true, dtype), npix)
         sys = dataclasses.replace(sys, data=sys.data + extra)
         meta["nsrc"] = nsrc
+        meta["ptsrc_true"] = p_true
     return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps
 
 

@@ -66,3 +66,18 @@ def test_tod_integrated_loop(cfg, tmp_path_factory):
         s = ch.read_sample(3)
         assert np.isfinite(float(s["aux"]["chisq"]))
         assert float(s["aux"]["chisq"]) > 0
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PARAM), reason="reference absent")
+def test_driver_ptsrc_flux_recovery(cfg):
+    from commander_tpu.run import build_model
+    from commander_tpu.sampling import joint as J
+    (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps) = \
+        build_model(cfg, nside=8, lmax=16, synthetic=True)
+    assert ps is not None and ts is not None
+    x, res = J.sample_joint(sys, plan, ts, ps, key=None, tol=1e-9,
+                            maxiter=1500)
+    p_rec = np.asarray(x.p)
+    p_true = meta["ptsrc_true"]
+    assert np.corrcoef(p_rec, p_true)[0, 1] > 0.99
+    assert np.abs(p_rec - p_true).mean() / p_true.mean() < 0.05
