@@ -26,29 +26,23 @@ import time
 BASELINE_SHT_PER_S = 10.0
 
 
-def inner():
+def _measure(jax, device, dtype, nside, lmax, batch):
+    """One SHT-roundtrip measurement on `device`. Returns
+    (shts_per_sec, sync_mode) or raises on an unusable session."""
     import numpy as np
-    import jax
-    # persistent compile cache: once ANY session compiles the bench graph,
-    # later sessions (incl. slow-compiler ones) load it from disk.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from functools import partial
     from commander_tpu.sphere import sht
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    # nside 64 keeps host plan build ~1s and device compile ~12s in good
-    # sessions — maximizing the chance of a real measurement on this
-    # environment's intermittently slow remote compiler; raise when stable.
-    nside, lmax, batch = (64, 128, 8) if on_tpu else (64, 128, 4)
-    dtype = "float32" if on_tpu else "float64"
-    plan = sht.get_plan(nside, lmax, dtype=dtype)
-    nl = lmax + 1
-    rng = np.random.default_rng(0)
-    a0 = rng.standard_normal((batch, nl, nl)) + 1j * rng.standard_normal((batch, nl, nl))
-    a = jnp.asarray(a0.astype(np.complex64 if dtype == "float32" else np.complex128))
+    with jax.default_device(jax.devices("cpu")[0]):
+        plan = sht.get_plan(nside, lmax, dtype=dtype)
+        nl = lmax + 1
+        rng = np.random.default_rng(0)
+        a0 = rng.standard_normal((batch, nl, nl)) \
+            + 1j * rng.standard_normal((batch, nl, nl))
+        a = jnp.asarray(a0.astype(np.complex64 if dtype == "float32"
+                                  else np.complex128))
+    plan, a = jax.device_put((plan, a), device)
 
     @partial(jax.jit, static_argnums=2)
     def chain(p, a, n):
@@ -77,20 +71,46 @@ def inner():
     t_lo = min(timed_block(n_lo) for _ in range(3))
     t_hi = min(timed_block(n_hi) for _ in range(3))
     ratio_ok = t_lo > 1e-5 and 2.0 < (t_hi / t_lo) < 12.0
+    sync = "block"
     if not ratio_ok:
         # block_until_ready is a no-op here: force completion via a scalar
         # device->host readback (works only in transfer-capable sessions;
-        # a failed transfer aborts this process and the driver retries).
+        # a failed/hung transfer aborts this process and the driver retries).
         t_lo = timed_readback(n_lo)
         t_hi = timed_readback(n_hi)
+        sync = "readback"
     per_round = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
-    shts = 2.0 * batch / per_round   # each roundtrip = 2 transforms x batch
     if per_round < 1e-7:
         raise RuntimeError(f"implausible timing: {per_round}")
+    return 2.0 * batch / per_round, sync   # roundtrip = 2 transforms x batch
+
+
+def inner():
+    import jax
+    # persistent compile cache: once ANY session compiles the bench graph,
+    # later sessions (incl. slow-compiler ones) load it from disk.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    # nside 64 keeps host plan build ~1s and device compile ~12s in good
+    # sessions — maximizing the chance of a real measurement on this
+    # environment's intermittently slow remote compiler; raise when stable.
+    nside, lmax, batch = (64, 128, 8) if on_tpu else (64, 128, 4)
+    dtype = "float32" if on_tpu else "float64"
+    where = dev.platform
+    if os.environ.get("COMMANDER_TPU_BENCH_CPU"):
+        # fallback pass (see main): this axon session cannot sync/readback,
+        # measure on the host CPU backend and label it honestly.
+        dev, where, dtype, batch = jax.devices("cpu")[0], "cpu-fallback", \
+            "float64", 4
+    shts, sync = _measure(jax, dev, dtype, nside, lmax, batch)
     print(json.dumps({
         "metric": f"SHT transforms/sec/chip (alm2map+map2alm roundtrip, "
                   f"nside={nside}, lmax={lmax}, batch={batch}, {dtype}, "
-                  f"sync={'block' if ratio_ok else 'readback'})",
+                  f"sync={sync}, device={where})",
         "value": round(shts, 2),
         "unit": "transforms/s",
         "vs_baseline": round(shts / BASELINE_SHT_PER_S, 2),
@@ -103,10 +123,15 @@ def main():
         return
     env = dict(os.environ, COMMANDER_TPU_BENCH_INNER="1")
     last_err = ""
+    # attempts 0-1: real device; attempt 2: CPU-backend fallback so an
+    # unmeasurable axon session still yields an honest labeled number.
     for attempt in range(3):
+        e = dict(env)
+        if attempt == 2:
+            e["COMMANDER_TPU_BENCH_CPU"] = "1"
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
+                [sys.executable, os.path.abspath(__file__)], env=e,
                 capture_output=True, text=True, timeout=180,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():

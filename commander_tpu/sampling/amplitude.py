@@ -234,13 +234,186 @@ def build_preconditioner(sys: AmplitudeSystem, plan):
     return apply
 
 
+def build_preconditioner_pseudoinv(sys: AmplitudeSystem, plan):
+    """Pseudo-inverse preconditioner (CG_PRECOND_TYPE = pseudoinv).
+
+    TPU-native form of the reference's second preconditioner family
+    (initDiffPrecond_pseudoinv / updateDiffPrecond_pseudoinv /
+    applyDiffPrecond_pseudoinv, comm_diffuse_comp_mod.f90:1255-1293,
+    1560-1660, 2238-2380): per (Stokes, ell) build the tall "design" matrix
+
+        U = [ alpha_b  b_l  F_bc  sqrt(Cl_c) ]   (data rows, one per band)
+            [ I_C                           ]   (prior rows)
+
+    with alpha_b = sqrt(sum tau^2 / sum tau), tau = N^-1 diag per band
+    (comm_N_rms_mod.f90:219-245), so the CG operator is approximately
+    A ~ U^T blockdiag(T_b, I) U with T_b the alm-normalized band noise.
+    The preconditioner is M^-1 = U^+ blockdiag(T_b^-1, I) (U^+)^T where
+    T_b^-1 is applied EXACTLY in pixel space (Yt W N W Y scaled by
+    alpha^2 — the WY/N/YtW sequence of applyDiffPrecond_pseudoinv),
+    which is what lets pseudoinv handle strongly inhomogeneous noise.
+    All (Stokes, ell) pseudo-inverses are one batched jnp.linalg.pinv.
+    """
+    B, C = sys.F.shape[0], sys.F.shape[1]
+    S, nl = sys.bl.shape[1], sys.bl.shape[2]
+    tau = sys.inv_rms2                                   # (B,S,P)
+    s1 = jnp.sum(tau, axis=-1)
+    s2 = jnp.sum(tau * tau, axis=-1)
+    alpha = jnp.sqrt(jnp.where(s1 > 0, s2 / jnp.maximum(s1, 1e-300), 0.0))
+    sqcl = jnp.sqrt(jnp.maximum(sys.cl, 0.0))            # (C,S,nl)
+    # U_data[s,l,b,c] = alpha[b,s] * bl[b,s,l] * F[b,c,s] * sqcl[c,s,l]
+    U_data = jnp.einsum("bs,bsl,bcs,csl->slbc", alpha, sys.bl, sys.F, sqcl)
+    eye = jnp.broadcast_to(jnp.eye(C, dtype=U_data.dtype), (S, nl, C, C))
+    U = jnp.concatenate([U_data, eye], axis=2)           # (S,nl,B+C,C)
+    pinvU = jnp.linalg.pinv(U)                           # (S,nl,C,B+C)
+    P_data = pinvU[..., :B]                              # (S,nl,C,B)
+    P_prior = pinvU[..., B:]                             # (S,nl,C,C)
+    # Pixel-space N with mask (N=0 on masked pixels, like invN=0).
+    N_pix = jnp.where(sys.inv_rms2 > 0, 1.0 / jnp.maximum(sys.inv_rms2, 1e-300), 0.0)
+    w_pix = _pix_weights(plan)
+    alpha2 = alpha ** 2
+
+    def apply(r):
+        r = real_m0(r * sys.tri)
+        # data section: band alms from (U^+)^T, then T_b^-1, then U^+
+        alm_b = jnp.einsum("slcb,cslm->bslm", P_data, r)
+        m = _synth(plan, alm_b) * w_pix                  # W Y
+        m = m * N_pix                                    # N
+        alm_b = _synth_T(plan, m * w_pix)                # Yt W
+        alm_b = alm_b * alpha2[..., None, None]
+        z = jnp.einsum("slcb,bslm->cslm", P_data, alm_b)
+        # prior section: P_prior P_prior^T r
+        w2 = jnp.einsum("sldc,dslm->cslm", P_prior, r)
+        z = z + jnp.einsum("slcd,dslm->cslm", P_prior, w2)
+        return real_m0(z * sys.tri)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Low-ell dense preconditioner (CMB-style; updateLowlPrecond,
+# comm_diffuse_comp_mod.f90:5098-5259)
+# ---------------------------------------------------------------------------
+
+def _lowl_basis_size(C, S, L):
+    return C * S * (L + 1) ** 2
+
+
+def _lowl_indices(L):
+    """Triangle (l, m>0) index lists for the low-ell real-dof basis."""
+    mm, ll = np.meshgrid(np.arange(1, L + 1), np.arange(L + 1))
+    keep = mm <= ll
+    return np.arange(L + 1), ll[keep], mm[keep]
+
+
+def pack_lowl(a, L):
+    """Restrict alm (C,S,nl,nm) to the l<=L triangle and pack into a real
+    vector under which the eps metric is the standard dot:
+    [m=0: Re; m>0: sqrt2 Re, sqrt2 Im] — (L+1)^2 dofs per (c,s)."""
+    l0, ll, mm = _lowl_indices(L)
+    sq2 = np.sqrt(2.0)
+    re0 = jnp.real(a[..., l0, 0])
+    re = sq2 * jnp.real(a[..., ll, mm])
+    im = sq2 * jnp.imag(a[..., ll, mm])
+    return jnp.concatenate([re0, re, im], axis=-1)
+
+
+def unpack_lowl(v, C, S, L, nl, nm, dtype):
+    """Inverse of pack_lowl, zero-padded to (C,S,nl,nm)."""
+    l0, ll, mm = _lowl_indices(L)
+    n0, nr = L + 1, len(ll)
+    sq2 = np.sqrt(2.0)
+    out = jnp.zeros((C, S, nl, nm), dtype)
+    out = out.at[..., l0, 0].set(v[..., :n0].astype(dtype))
+    rest = (v[..., n0:n0 + nr] + 1j * v[..., n0 + nr:]) / sq2
+    return out.at[..., ll, mm].set(rest.astype(dtype))
+
+
+def lowres_system(sys: AmplitudeSystem, nside_lo: int, lmax_lo: int):
+    """Degrade an AmplitudeSystem to (nside_lo, lmax_lo) for the low-ell
+    dense preconditioner — the reference evaluates its low-ell operator
+    columns on nside_chisq_lowres with invN_lowres
+    (comm_diffuse_comp_mod.f90:5117-5160). Inverse-variance co-add of
+    N^-1 over child pixels; beams/Cl truncated in ell."""
+    from ..sphere.healpix import udgrade_indices
+    from ..sphere.sht import get_plan
+    idx = np.asarray(udgrade_indices(
+        int(round(np.sqrt(sys.inv_rms2.shape[-1] / 12))), nside_lo))
+    inv_rms2_lo = jnp.sum(sys.inv_rms2[..., idx], axis=-1)
+    inv_rms_lo = jnp.sqrt(inv_rms2_lo)
+    nl_lo = lmax_lo + 1
+    sys_lo = dataclasses.replace(
+        sys, inv_rms2=inv_rms2_lo, inv_rms=inv_rms_lo,
+        bl=sys.bl[..., :nl_lo], cl=sys.cl[..., :nl_lo],
+        data=jnp.zeros_like(inv_rms2_lo),
+        tri=jnp.asarray(triangle_mask(nl_lo, nl_lo)),
+        inv_qu=None, sqrt_inv_qu=None,
+        F_pix=None if sys.F_pix is None else jnp.mean(sys.F_pix[..., idx], -1))
+    plan_lo = get_plan(nside_lo, lmax_lo, spin2=(sys.bl.shape[1] == 3))
+    return sys_lo, plan_lo
+
+
+def build_preconditioner_lowl(sys: AmplitudeSystem, plan, lmax_lowl: int,
+                              nside_lo: int | None = None):
+    """Hybrid preconditioner: dense inverse over ALL components' modes with
+    l <= lmax_lowl, block-diagonal elsewhere.
+
+    The dense block is the exact CG operator of a degraded system applied
+    to every unit vector of the low-ell real-dof basis — the reference's
+    updateLowlPrecond loop over (l,m) unit alms with lowres invN
+    (comm_diffuse_comp_mod.f90:5098-5259), here ONE vmapped batch of
+    operator applications. applyLowlPrecond (:5259-…) replaces the
+    diagonal result on the low-ell subspace; same here.
+    """
+    C, S = sys.F.shape[1], sys.bl.shape[1]
+    nl, nm = sys.tri.shape
+    L = lmax_lowl
+    if nside_lo is None:
+        nside_lo = max(2, int(2 ** np.ceil(np.log2(max(L, 2)))) // 2)
+    lmax_lo = min(2 * L, 3 * nside_lo - 1, nl - 1)
+    sys_lo, plan_lo = lowres_system(sys, nside_lo, lmax_lo)
+    n = _lowl_basis_size(C, S, L)
+    basis = jnp.eye(n, dtype=sys.bl.dtype)
+    cdtype = jnp.complex128 if sys.bl.dtype == jnp.float64 else jnp.complex64
+
+    def col(v):
+        u = unpack_lowl(v.reshape(C, S, -1), C, S, L, lmax_lo + 1,
+                        lmax_lo + 1, cdtype)
+        return pack_lowl(apply_A(sys_lo, plan_lo, u), L).reshape(-1)
+
+    M_dense = jax.lax.map(col, basis, batch_size=min(n, 256)).T
+    M_dense = 0.5 * (M_dense + M_dense.T)
+    M_dense_inv = jnp.linalg.inv(M_dense)
+    diag_apply = build_preconditioner(sys, plan)
+
+    def apply(r):
+        z = diag_apply(r)
+        v = pack_lowl(r, L).reshape(-1)
+        zl = (M_dense_inv @ v).reshape(C, S, -1)
+        zl = unpack_lowl(zl, C, S, L, nl, nm, r.dtype)
+        keep = jnp.zeros((nl, 1), z.real.dtype).at[: L + 1].set(1.0)
+        return z * (1.0 - keep) + zl * keep
+
+    return apply
+
+
+_PRECONDS = {"diagonal": build_preconditioner,
+             "pseudoinv": build_preconditioner_pseudoinv}
+
+
 def sample_amplitudes(sys: AmplitudeSystem, plan, key=None, x0=None,
-                      tol=1e-8, maxiter=300) -> tuple[jnp.ndarray, CGResult]:
+                      tol=1e-8, maxiter=300, precond: str = "diagonal",
+                      lowl_lmax: int = -1) -> tuple[jnp.ndarray, CGResult]:
     """Draw component amplitudes a ~ P(a | d, Cl, theta) (or the Wiener mean
     when key is None). Returns (a, CGResult). Reference driver:
-    sample_amps_by_CG (comm_signal_mod.f90:154-216)."""
+    sample_amps_by_CG (comm_signal_mod.f90:154-216). precond selects the
+    reference's CG_PRECOND_TYPE in {diagonal, pseudoinv}; lowl_lmax >= 0
+    additionally switches on the dense low-ell block (LMAX_PRECOND_LOWL)."""
     rhs = compute_rhs(sys, plan, key)
-    M_inv = build_preconditioner(sys, plan)
+    if lowl_lmax >= 0:
+        M_inv = build_preconditioner_lowl(sys, plan, lowl_lmax)
+    else:
+        M_inv = _PRECONDS[precond](sys, plan)
     res = pcg(partial(apply_A, sys, plan), rhs, x0=x0, M_inv=M_inv,
               dot=alm_dot, tol=tol, maxiter=maxiter)
     a = _sqrtS(sys, res.x)
