@@ -190,6 +190,26 @@ def sample_cl_binned_invwishart_TE(key, cfg: ClModelConfig, alm: jnp.ndarray):
     return cl_te, cl_b
 
 
+def sqrt_psd(mat: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric PSD matrix square root via eigh (negative eigenvalues
+    clipped) — the reference's compute_hermitian_root(., 0.5) used to build
+    sqrtS_mat (comm_Cl_mod.f90 updateS :316-385). Batched over leading dims.
+    The SYMMETRIC root (not Cholesky) keeps the CG operator
+    S^1/2 A^T N^-1 A S^1/2 self-adjoint."""
+    w, v = jnp.linalg.eigh(mat)
+    w = jnp.sqrt(jnp.maximum(w, 0.0))
+    return jnp.einsum("...ij,...j,...kj->...ik", v, w, v)
+
+
+def full_cl_matrix(cl_te, cl_b, bin_idx) -> jnp.ndarray:
+    """Assemble the (nl, 3, 3) Stokes covariance from per-bin TE blocks and
+    B scalars (the output of sample_cl_binned_invwishart_TE)."""
+    nl = bin_idx.shape[0]
+    out = jnp.zeros((nl, 3, 3), cl_b.dtype)
+    out = out.at[:, :2, :2].set(cl_te[bin_idx])
+    return out.at[:, 2, 2].set(cl_b[bin_idx])
+
+
 def apply_sqrtS_TE(cl_te, cl_b, bin_idx, alm):
     """Matrix S^1/2 with T-E coupling: alm (3, nl, nm) -> L_l @ alm where
     L_l = chol(C_l(2x2)) acts on (T,E), sqrt(Cl_B) on B (the reference's

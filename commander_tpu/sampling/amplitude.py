@@ -63,6 +63,12 @@ class AmplitudeSystem:
     # constant-mixing alm-space multiply. F then holds the pixel MEAN
     # mixing (used by the preconditioner, like the reference's F_mean).
     F_pix: jnp.ndarray | None = None         # (B, C, S, P)
+    # Optional Stokes-coupled prior: symmetric root of the per-(comp, ell)
+    # Stokes covariance (TE coupling; comm_Cl_mod.f90 updateS builds
+    # sqrtS_mat via compute_hermitian_root). When set it REPLACES the
+    # diagonal sqrt(cl) multiply; cl must hold the matching diagonal
+    # (used by the preconditioners).
+    sqrtS_mat: jnp.ndarray | None = None     # (C, nl, S, S)
 
 
 def apply_invN(sys: "AmplitudeSystem", m):
@@ -85,7 +91,11 @@ def apply_sqrt_invN(sys: "AmplitudeSystem", m):
     return out
 
 
-def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None) -> AmplitudeSystem:
+def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None,
+                 cl_mat=None) -> AmplitudeSystem:
+    """cl_mat: optional (C, nl, S, S) Stokes-coupled prior covariance
+    (TE coupling); when given, cl is overridden by its diagonal and the
+    operator uses the symmetric matrix root."""
     F = jnp.asarray(F)
     if F.ndim == 2:
         F = F[..., None].repeat(data.shape[1], axis=-1)
@@ -101,16 +111,28 @@ def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None) -> AmplitudeSyste
         inv_qu = jnp.linalg.inv(jnp.asarray(cov_qu))
         chol = jnp.linalg.cholesky(inv_qu)
         sqrt_inv_qu = jnp.swapaxes(chol, -1, -2)
+    sqrtS_mat = None
+    if cl_mat is not None:
+        from ..model.cl import sqrt_psd
+        cl_mat = jnp.asarray(cl_mat)
+        sqrtS_mat = sqrt_psd(cl_mat)
+        cl = jnp.einsum("clss->csl", cl_mat)
     return AmplitudeSystem(F=F, bl=jnp.asarray(bl), inv_rms2=inv_rms**2,
                            inv_rms=inv_rms, cl=jnp.asarray(cl),
                            data=jnp.asarray(data), tri=tri,
-                           inv_qu=inv_qu, sqrt_inv_qu=sqrt_inv_qu)
+                           inv_qu=inv_qu, sqrt_inv_qu=sqrt_inv_qu,
+                           sqrtS_mat=sqrtS_mat)
 
 
 def _sqrtS(sys: AmplitudeSystem, u):
     # real_m0 keeps the solve in the one-dof-per-(l, m=0) subspace of real
     # fields (see sphere.alm.real_m0); applied here so every operator/rhs
     # evaluation stays projected.
+    if sys.sqrtS_mat is not None:
+        # Stokes-coupled symmetric root (TE coupling); self-adjoint, so the
+        # same einsum serves both S^1/2 applications in the CG operator.
+        out = jnp.einsum("clxy,cylm->cxlm", sys.sqrtS_mat, u)
+        return real_m0(out * sys.tri)
     return real_m0(apply_sqrtS(sys.cl, u) * sys.tri)
 
 
@@ -348,7 +370,8 @@ def lowres_system(sys: AmplitudeSystem, nside_lo: int, lmax_lo: int):
         data=jnp.zeros_like(inv_rms2_lo),
         tri=jnp.asarray(triangle_mask(nl_lo, nl_lo)),
         inv_qu=None, sqrt_inv_qu=None,
-        F_pix=None if sys.F_pix is None else jnp.mean(sys.F_pix[..., idx], -1))
+        F_pix=None if sys.F_pix is None else jnp.mean(sys.F_pix[..., idx], -1),
+        sqrtS_mat=None if sys.sqrtS_mat is None else sys.sqrtS_mat[:, :nl_lo])
     plan_lo = get_plan(nside_lo, lmax_lo, spin2=(sys.bl.shape[1] == 3))
     return sys_lo, plan_lo
 

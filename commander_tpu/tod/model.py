@@ -154,6 +154,84 @@ def sample_ncorr(key, resid, mask, sigma0, alpha, fknee, fsamp):
     return jnp.fft.irfft(nf, n=Nt, axis=-1)
 
 
+def _mirror_fourier_apply(x, fmat):
+    """Multiply by a Fourier-diagonal operator with mirrored (even) extension
+    to 2*Nt — the apply_fourier_mat helper of the reference's SM-CG sampler
+    (comm_tod_noise_mod.f90:433-466). x (..., Nt), fmat (..., Nt+1)."""
+    Nt = x.shape[-1]
+    xe = jnp.concatenate([x, x[..., ::-1]], axis=-1)
+    xf = jnp.fft.rfft(xe, axis=-1) * fmat
+    return jnp.fft.irfft(xf, n=2 * Nt, axis=-1)[..., :Nt]
+
+
+def sample_ncorr_sm(key, resid, mask, sigma0, alpha, fknee, fsamp,
+                    n_iter: int = 15):
+    """Exact masked n_corr draw via Sherman-Morrison/Woodbury CG.
+
+    The gap-fill approximation of sample_ncorr replaces masked samples by
+    the unmasked mean; this is the reference's EXACT alternative
+    (get_ncorr_sm_cg, comm_tod_noise_mod.f90:308-466): in whitened units
+    the conditional precision is A = diag(mask) + invNcorr (invNcorr
+    Fourier-diagonal with mirrored extension), and Woodbury reduces A^-1 to
+    a CG over only the MASKED samples with operator
+        p -> p - [ (1+invNcorr)^-1 (p on gaps) ] on gaps.
+    Here the gap restriction is a static-shape multiply by (1-mask), the
+    CG is a fori_loop batched over (scan, det), and each iteration costs
+    one batched FFT pair — TPU-friendly regardless of gap layout.
+
+    key=None returns the conditional (Wiener) mean. resid/mask (Ns,Nd,Nt);
+    returns n_corr (Ns,Nd,Nt) in data units.
+    """
+    Nt = resid.shape[-1]
+    dtype = resid.dtype
+    s0 = jnp.maximum(sigma0[..., None], 1e-30)
+    x = resid / s0 * mask
+    freqs = jnp.fft.rfftfreq(2 * Nt, 1.0 / fsamp).astype(dtype)
+    # whitened inverse 1/f prior: 1/S_c with S_c = (f/fknee)^alpha (DC free)
+    ratio = freqs / fknee[..., None]
+    invNcorr = jnp.where(freqs > 0, jnp.where(ratio > 0, ratio, 1.0)
+                         ** (-alpha[..., None]), 0.0)
+    invM = 1.0 / (1.0 + invNcorr)
+    gap = 1.0 - mask
+
+    if key is None:
+        b = x
+    else:
+        k1, k2 = jax.random.split(key)
+        d = jax.random.normal(k1, resid.shape, dtype)
+        r = jax.random.normal(k2, resid.shape, dtype)
+        b = x + d * mask + _mirror_fourier_apply(r, jnp.sqrt(invNcorr))
+
+    # Woodbury inner solve on the gaps: (I - P_g invM P_g) xp = P_g invM b
+    bp = gap * _mirror_fourier_apply(b, invM)
+
+    def Ap(p):
+        return p - gap * _mirror_fourier_apply(gap * p, invM)
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1, keepdims=True)
+
+    xp = jnp.zeros_like(bp)
+    rvec = bp
+    p = rvec
+    r2 = dot(rvec, rvec)
+
+    def body(i, carry):
+        xp, rvec, p, r2 = carry
+        Adp = Ap(p)
+        denom = dot(p, Adp)
+        alp = jnp.where(denom > 0, r2 / jnp.maximum(denom, 1e-300), 0.0)
+        xp = xp + alp * p
+        rnew = rvec - alp * Adp
+        r2n = dot(rnew, rnew)
+        bet = jnp.where(r2 > 0, r2n / jnp.maximum(r2, 1e-300), 0.0)
+        return xp, rnew, rnew + bet * p, r2n
+
+    xp, _, _, _ = jax.lax.fori_loop(0, n_iter, body, (xp, rvec, p, r2))
+    n_w = _mirror_fourier_apply(gap * xp + b, invM)
+    return n_w * sigma0[..., None]
+
+
 def multiply_inv_N_white(x, mask, sigma0):
     """White-noise weighting: x * mask / sigma0^2
     (comm_tod_noise_mod.f90:1366 multiply_inv_N, white limit)."""
