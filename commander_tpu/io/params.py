@@ -126,6 +126,8 @@ class BandConfig:
     gain_prior_rms: float = 0.0
     sample_gain: bool = False
     tod_type: str = "none"
+    sample_bandpass: bool = False          # BAND_SAMP_BANDPASS
+    bandpass_model: str = "additive_shift"  # BAND_BANDPASS_MODEL
 
 
 @dataclasses.dataclass
@@ -206,6 +208,10 @@ def lower_params(p: Params) -> RunConfig:
             gain_prior_rms=float(p.get_indexed("BAND_GAIN_PRIOR_RMS", i, 0.0)),
             sample_gain=bool(p.get_indexed("BAND_SAMP_GAIN", i, False)),
             tod_type=str(p.get_indexed("BAND_TOD_TYPE", i, "none")),
+            sample_bandpass=bool(p.get_indexed("BAND_SAMP_BANDPASS", i,
+                                               False)),
+            bandpass_model=str(p.get_indexed("BAND_BANDPASS_MODEL", i,
+                                             "additive_shift")),
         ))
 
     comps = []

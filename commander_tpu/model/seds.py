@@ -125,14 +125,111 @@ def sed_spindust2(nu, nu_ref, nu_p, alpha):
     return sed_spindust(nu, nu_ref, nu_p) * jnp.exp(alpha * jnp.log(nu / nu_ref))
 
 
-def sed_physdust(nu, nu_ref, U):
-    """Physical dust placeholder with the reference's interface
-    (comm_physdust_comp_mod.f90 is a multi-grain table lookup over U; the
-    table is an external input file). Until a table is installed this follows
-    an MBB with (beta, T) tied to U — adequate for pipeline exercises, and
-    `set_physdust_table` mirrors the spindust hook."""
-    T_d = 18.0 * (10.0 ** U) ** (1.0 / 6.0)
-    return sed_mbb(nu, nu_ref, 1.6, T_d)
+# --- physical dust: multi-grain emission tables + U-distribution integral --
+# The reference's comm_physdust_comp_mod.f90 reads per-grain-population
+# emission tables e_i(wavelength, log U) (external data files), then evaluates
+#   SED(nu; logUmin) = [ (1-gamma) sum_i A_i e_i(wav, logUmin)
+#                        + gamma  sum_i A_i \int e_i(wav, logU(u)) f(u) du ]
+#                      / (same at nu_ref) * (nu_ref/nu)^3
+# with f(u) du the Aniano et al. (2012) power-law radiation-field
+# distribution between Umin = 10^theta and Umax (evalSED :188-253). The
+# default table below is generated from modified-blackbody grain curves with
+# T_i(U) = T0_i U^(1/6) — replace with real DL07-style tables via
+# set_physdust_model.
+
+def _default_physdust_table():
+    wav = np.geomspace(1.0, 3.0e6, 600)                       # um
+    logU = np.linspace(-0.5, 0.5, 11)
+    T0 = np.array([16.0, 19.0, 23.0, 9.0])
+    beta_g = np.array([1.5, 1.7, 2.0, 1.2])
+    nu = C_LIGHT / (wav * 1e-6)                               # (nnu,)
+    T = T0[:, None, None] * (10.0 ** logU[None, None, :]) ** (1.0 / 6.0)
+    x = H_PLANCK * nu[None, :, None] / (K_BOLTZ * T)
+    # nu * I_nu with I_nu = Planck * nu^beta opacity (the reference's file
+    # convention — its (nu_ref/nu)^3 factor assumes nu I_nu tables)
+    log_e = ((4.0 + beta_g[:, None, None]) * np.log(nu[None, :, None])
+             - np.log(np.expm1(np.clip(x, 1e-10, 700.0))))
+    # a global offset cancels in the SED ratio; keep exp() in range
+    log_e -= log_e.max()
+    return np.log(wav), logU, log_e, np.array([1.0, 0.7, 0.3, 0.2])
+
+
+_PD_LOGWAV, _PD_LOGU, _PD_LOGE, _PD_AMPS = _default_physdust_table()
+_PD_PARS = {"log_umax": 0.5, "gamma": 0.0, "alpha": 2.0}
+
+
+def set_physdust_model(wav_um, logU_grid, log_emission, amps,
+                       log_umax=0.5, gamma=0.0, alpha=2.0):
+    """Install physical-dust emission tables (the reference's
+    CS_SED_TEMPLATE files) and auxiliary parameters (CS_AUXPAR:
+    log_umax, gamma, alpha, amps)."""
+    global _PD_LOGWAV, _PD_LOGU, _PD_LOGE, _PD_AMPS, _PD_PARS
+    _PD_LOGWAV = np.log(np.asarray(wav_um))
+    _PD_LOGU = np.asarray(logU_grid)
+    # a global offset cancels in the SED ratio; keep exp() in range
+    _PD_LOGE = np.asarray(log_emission) - np.max(log_emission)
+    _PD_AMPS = np.asarray(amps)
+    _PD_PARS = {"log_umax": float(log_umax), "gamma": float(gamma),
+                "alpha": float(alpha)}
+
+
+def _pd_interp2(logwav, logu):
+    """Bilinear interpolation of log e_i over (log wav, logU); returns the
+    amp-weighted linear-space sum over grain components. Broadcasts logwav
+    against scalar/array logu."""
+    lw = jnp.asarray(_PD_LOGWAV)
+    lu = jnp.asarray(_PD_LOGU)
+    tbl = jnp.asarray(_PD_LOGE)                                # (nc, nw, nu)
+    iw = jnp.clip(jnp.searchsorted(lw, logwav) - 1, 0, len(_PD_LOGWAV) - 2)
+    iu = jnp.clip(jnp.searchsorted(lu, logu) - 1, 0, len(_PD_LOGU) - 2)
+    fw = (logwav - lw[iw]) / (lw[iw + 1] - lw[iw])
+    fu = (logu - lu[iu]) / (lu[iu + 1] - lu[iu])
+    fw = jnp.clip(fw, 0.0, 1.0)
+    fu = jnp.clip(fu, 0.0, 1.0)
+    v00 = tbl[:, iw, iu]
+    v10 = tbl[:, iw + 1, iu]
+    v01 = tbl[:, iw, iu + 1]
+    v11 = tbl[:, iw + 1, iu + 1]
+    loge = (v00 * (1 - fw) * (1 - fu) + v10 * fw * (1 - fu)
+            + v01 * (1 - fw) * fu + v11 * fw * fu)
+    return jnp.sum(jnp.asarray(_PD_AMPS)[:, None] * jnp.exp(
+        loge.reshape(len(_PD_AMPS), -1)), axis=0).reshape(jnp.shape(loge)[1:])
+
+
+def _pd_emission(nu, log_umin, n_u: int = 100):
+    """(1-gamma) delta term + gamma U-distribution integral at frequency nu
+    (broadcasts over nu)."""
+    logwav = jnp.log(C_LIGHT / nu * 1e6)
+    gamma = _PD_PARS["gamma"]
+    alpha = _PD_PARS["alpha"]
+    out = (1.0 - gamma) * _pd_interp2(logwav, log_umin)
+    if gamma != 0.0:
+        log_umax = _PD_PARS["log_umax"]
+        umin = 10.0 ** log_umin
+        umax = 10.0 ** log_umax
+        jj = jnp.arange(n_u) / (n_u - 1.0)
+        uval = umin * (umax / umin) ** jj                      # (n_u,)
+        du = umin * ((umax / umin) ** (1.0 / (n_u - 1.0)) - 1.0)
+        if alpha != 1.0:
+            fdu = (uval ** (1.0 - alpha) * du * gamma * (alpha - 1.0)
+                   / (umin ** (1.0 - alpha) - umax ** (1.0 - alpha)))
+        else:
+            fdu = du * gamma / jnp.log(umax / umin) * jnp.ones_like(uval)
+        vals = _pd_interp2(logwav[..., None],
+                           jnp.log10(uval) * jnp.ones_like(logwav[..., None]))
+        out = out + jnp.sum(vals * fdu, axis=-1)
+    return out
+
+
+def sed_physdust(nu, nu_ref, log_umin):
+    """Physical (multi-grain) dust SED, parameter theta = log10 Umin
+    (comm_physdust_comp_mod.f90 evalSED :188-253). Emission ratio normalized
+    at nu_ref, converted to brightness-temperature units via (nu_ref/nu)^3
+    exactly as the reference; zero below 2 GHz."""
+    num = _pd_emission(jnp.asarray(nu), log_umin)
+    den = _pd_emission(jnp.asarray(nu_ref), log_umin)
+    sed = (num / den) * (nu_ref / nu) ** 3
+    return jnp.where(jnp.asarray(nu) < 2e9, 0.0, sed)
 
 
 def sed_line(nu, nu_ref, width_hz=1e6):

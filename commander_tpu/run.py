@@ -236,7 +236,8 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
     return blocks
 
 
-def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas):
+def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
+                  deltas=None):
     """Fullsky spectral-index Gibbs step + mixing-matrix rebuild.
 
     Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
@@ -283,7 +284,7 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas):
                                for j, t in enumerate(thetas[ci]))
             changed = True
     if changed:
-        F = mixing_matrix(diffuse, bps, thetas=thetas)
+        F = mixing_matrix(diffuse, bps, thetas=thetas, deltas=deltas)
         if F.ndim == 2:
             F = F[..., None].repeat(sys.F.shape[-1], axis=-1)
         sys = dc.replace(sys, F=jnp.asarray(F, sys.data.dtype))
@@ -420,6 +421,10 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     skey = jax.random.fold_in(key, 552)
     thetas = [tuple(d.theta0) for d in diffuse]
     gains = np.ones(len(cfg.bands))
+    bp_deltas = np.zeros(len(cfg.bands))
+    if tod_blocks and any(b.sample_bandpass for b in cfg.bands):
+        from .tod.process import tod_chisq
+        tod_chisq_fn = jax.jit(tod_chisq, static_argnums=0)
 
     for it in range(first + 1, niter + 1):
         # --- TOD step per band: gain/ncorr/PSD + new map and rms
@@ -435,6 +440,33 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 tkey, k = jax.random.split(tkey)
                 tstate, prod = tod_step(tcfg, block, tstate, sky_bands[b], k)
                 tod_blocks[b] = (tcfg, block, tstate)
+                # --- bandpass-shift MH on the TOD chi^2 (sample_bp,
+                # comm_tod_bandpass_mod.f90:28; proposal/accept flow of
+                # commander.f90:299-335) ---
+                if cfg.bands[b].sample_bandpass:
+                    from .model.mixing import mixing_matrix as _mm
+                    from .sampling.mh import accept_bandpass_tod
+                    tkey, kp, ka = jax.random.split(tkey, 3)
+                    prop = bp_deltas[b] + 0.1e9 * float(
+                        jax.random.normal(kp, ()))
+                    ds = bp_deltas.copy(); ds[b] = prop
+                    F_prop = _mm(diffuse, bps, thetas=thetas,
+                                 deltas=ds.tolist())
+                    if F_prop.ndim == 2:
+                        F_prop = F_prop[..., None].repeat(
+                            sys.F.shape[-1], axis=-1)
+                    sys_prop = dataclasses.replace(
+                        sys, F=jnp.asarray(F_prop, sys.data.dtype))
+                    sky_prop = sky_fn_state(sys_prop, plan, state)
+                    c2_cur = tod_chisq_fn(tcfg, block, tstate,
+                                          sky_bands[b], pvec)
+                    c2_prop = tod_chisq_fn(tcfg, block, tstate,
+                                           sky_prop[b], pvec)
+                    d_new, acc = accept_bandpass_tod(
+                        ka, c2_cur, c2_prop, bp_deltas[b], prop)
+                    if bool(acc):
+                        bp_deltas[b] = float(d_new)
+                        sys = sys_prop
                 hit = np.asarray(prod["rms"][0]) > 0
                 new_data[b, 0, hit] = np.asarray(prod["map"][0])[hit]
                 new_rms[b, 0, hit] = np.asarray(prod["rms"][0])[hit]
@@ -458,7 +490,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         if cfg.sample_specind:
             timer.start("specind")
             skey, sys, thetas = _specind_step(skey, cfg, pcfgs, diffuse, bps,
-                                              sys, plan, state, thetas)
+                                              sys, plan, state, thetas,
+                                              deltas=bp_deltas.tolist())
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---
@@ -508,7 +541,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 d.name: {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
                          "specind": np.asarray(thetas[i], np.float64)}
                 for i, d in enumerate(diffuse)}
-            extra = {"chisq": chi2, "cg_iters": int(state.cg_iters)}
+            extra = {"chisq": chi2, "cg_iters": int(state.cg_iters),
+                     "bp_delta": bp_deltas.copy()}
             if state.t is not None:
                 extra["md_amps"] = np.asarray(state.t)
             if state.p is not None:

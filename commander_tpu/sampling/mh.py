@@ -88,3 +88,20 @@ def sample_bandpass_shift(key, comps: Sequence[DiffuseComponent],
     deltas = deltas.at[band].set(jnp.where(accept, prop, deltas[band]))
     F_out = jnp.where(accept, F_new, F_old)
     return deltas, F_out, accept
+
+
+def accept_bandpass_tod(key, chi2_cur, chi2_prop, delta_cur, delta_prop,
+                        prior_std_hz: float = 1.0e9):
+    """TOD-chi^2 Metropolis accept for a bandpass-shift proposal.
+
+    The reference's sample_bp (comm_tod_bandpass_mod.f90:28-82): the chi^2
+    of each proposal is accumulated over the band's scans during TOD
+    processing (here: tod.process.tod_chisq at the current and the proposed
+    shift), the accept step compares them with a Gaussian prior on Delta.
+    Returns (delta_new, accepted)."""
+    lnp = -0.5 * ((delta_prop / prior_std_hz) ** 2
+                  - (delta_cur / prior_std_hz) ** 2)
+    ln_r = -0.5 * (chi2_prop - chi2_cur) + lnp
+    accept = jnp.log(jax.random.uniform(key, (), jnp.result_type(float))) \
+        < ln_r
+    return jnp.where(accept, delta_prop, delta_cur), accept

@@ -98,6 +98,64 @@ def orbital_dipole(vsun, pix_vec, nu: float, pix):
     return (T_CMB * 1e6) * (b_dot_n + q * b_dot_n**2)
 
 
+def beam_moments_orbdipole(beam_map: jnp.ndarray, pix_vec: jnp.ndarray):
+    """First/second angular moments of a 4pi beam map for the beam-convolved
+    orbital dipole: S_k = sum_p b_p n_kp, S_jk = sum_p b_p n_jp n_kp,
+    B0 = sum_p b_p — the orb_dp_s(1:10) table the reference precomputes
+    from conviqt beam maps (comm_tod_orbdipole_mod.f90 compute_4pi_product
+    uses entries v.S(1:3), v v.S(4:9), normalized by S(10)).
+
+    beam_map (npix,) in the beam frame (z = boresight). Returns
+    (S1 (3,), S2 (3,3), B0)."""
+    S1 = jnp.einsum("p,pk->k", beam_map, pix_vec)
+    S2 = jnp.einsum("p,pj,pk->jk", beam_map, pix_vec, pix_vec)
+    return S1, S2, jnp.sum(beam_map)
+
+
+def _euler_zyz(psi, theta, phi):
+    """Rotation matrix R = Rz(psi) Ry(theta) Rz(phi), batched over leading
+    dims (the reference's compute_euler_matrix_zyz)."""
+    cps, sps = jnp.cos(psi), jnp.sin(psi)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    cph, sph = jnp.cos(phi), jnp.sin(phi)
+    r00 = cps * cth * cph - sps * sph
+    r01 = -cps * cth * sph - sps * cph
+    r02 = cps * sth
+    r10 = sps * cth * cph + cps * sph
+    r11 = -sps * cth * sph + cps * cph
+    r12 = sps * sth
+    r20 = -sth * cph
+    r21 = sth * sph
+    r22 = cth
+    return jnp.stack([jnp.stack([r00, r01, r02], -1),
+                      jnp.stack([r10, r11, r12], -1),
+                      jnp.stack([r20, r21, r22], -1)], -2)
+
+
+def orbital_dipole_4pi(vsun, theta_pix, phi_pix, psi, pix, moments,
+                       nu: float):
+    """Beam-convolved (4pi) orbital dipole template in uK_cmb.
+
+    Per sample: rotate v_sun into the beam frame with R(-psi,-theta,-phi)
+    and contract with the beam moments —
+    compute_orbital_dipole_4pi / compute_4pi_product
+    (comm_tod_orbdipole_mod.f90:190-288), without the spline subsampling
+    (the full contraction is one fused einsum on TPU).
+
+    theta_pix/phi_pix: (npix,) pixel angles; psi/pix: (Ns,Nd,Nt);
+    moments: (S1, S2, B0) from beam_moments_orbdipole."""
+    S1, S2, B0 = moments
+    th = theta_pix[pix]
+    ph = phi_pix[pix]
+    R = _euler_zyz(-psi, -th, -ph)                         # (Ns,Nd,Nt,3,3)
+    vn = jnp.einsum("sdtjk,sk->sdtj", R, vsun / C_LIGHT)
+    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    q = x * (jnp.exp(x) + 1.0) / (2.0 * jnp.expm1(x))
+    lin = jnp.einsum("sdtj,j->sdt", vn, S1)
+    quad = jnp.einsum("sdtj,jk,sdtk->sdt", vn, S2, vn)
+    return (T_CMB * 1e6) * (lin + q * quad) / B0
+
+
 # ---------------------------------------------------------------------------
 # 1/f noise model and FFT-space operations
 # ---------------------------------------------------------------------------

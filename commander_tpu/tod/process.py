@@ -106,6 +106,23 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
     return new_state, products
 
 
+def tod_chisq(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
+              sky_maps: jnp.ndarray, pix_vec: jnp.ndarray):
+    """TOD chi^2 of a candidate sky model under the current TOD state.
+
+    The per-proposal chi^2 that drives the reference's bandpass MH
+    (process_LFI_tod evaluates s_sky for each of ndelta bandpass proposals
+    and compute_chisq accumulates per scan; comm_tod_LFI_mod.f90:401-418 +
+    comm_tod_mod compute_chisq). One jitted reduction over (scan, det, t).
+    """
+    s_sky = M.project_sky(sky_maps, block.pix, block.psi, cfg.pol)
+    s_orb = M.orbital_dipole(block.vsun, pix_vec, cfg.nu, block.pix)
+    resid = block.tod - state.n_corr \
+        - state.gain[..., None] * (s_sky + s_orb)
+    return jnp.sum(resid ** 2 * block.mask
+                   / jnp.maximum(state.sigma0[..., None] ** 2, 1e-30))
+
+
 def init_tod_state(block: M.TodBlock, sigma0_guess=1.0) -> M.TodState:
     Ns, Nd, Nt = block.tod.shape
     dt = block.tod.dtype
