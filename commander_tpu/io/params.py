@@ -169,6 +169,10 @@ class RunConfig:
     enable_tod: bool
     bands: list
     comps: list
+    resample_cmb: bool = False            # RESAMPLE_CMB
+    numsamp_per_resamp: int = 1           # NUMSAMP_PER_RESAMP
+    first_samp_resamp: int = 1            # FIRST_SAMPLE_FOR_CMB_RESAMP
+    last_samp_resamp: int = 1             # LAST_SAMPLE_FOR_CMB_RESAMP
 
 
 # per-type spectral index key names in the reference param files
@@ -273,6 +277,10 @@ def lower_params(p: Params) -> RunConfig:
         sample_specind=bool(p.get("SAMPLE_SPECTRAL_INDICES", False)),
         sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),
         enable_tod=bool(p.get("ENABLE_TOD_ANALYSIS", False)),
+        resample_cmb=bool(p.get("RESAMPLE_CMB", False)),
+        numsamp_per_resamp=int(p.get("NUMSAMP_PER_RESAMP", 1)),
+        first_samp_resamp=int(p.get("FIRST_SAMPLE_FOR_CMB_RESAMP", 1)),
+        last_samp_resamp=int(p.get("LAST_SAMPLE_FOR_CMB_RESAMP", 1)),
         bands=bands, comps=comps,
     )
 

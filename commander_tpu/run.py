@@ -236,25 +236,59 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
     return blocks
 
 
+def _rebuild_mixing(diffuse, bps, thetas, deltas, sys):
+    """Rebuild F (and F_pix for map-valued thetas) after a nonlinear step —
+    the reference's updateMixmat per band (comm_diffuse_comp_mod.f90:1662);
+    map-valued thetas produce the pixel-mixing path of the CG operator
+    (evalDiffuseBand, :2027-2109) with F holding the pixel mean (F_mean)."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+
+    from .model.mixing import mixing_element, mixing_matrix
+
+    S = sys.bl.shape[1]
+    any_map = any(np.ndim(t) > 0 for th in thetas for t in th)
+    if not any_map:
+        F = mixing_matrix(diffuse, bps, thetas=thetas, deltas=deltas)
+        if F.ndim == 2:
+            F = F[..., None].repeat(S, axis=-1)
+        return dc.replace(sys, F=jnp.asarray(F, sys.data.dtype), F_pix=None)
+    P = sys.data.shape[-1]
+    B, C = len(bps), len(diffuse)
+    F_pix = np.zeros((B, C, S, P), np.asarray(sys.data).dtype)
+    for b, bp in enumerate(bps):
+        d = 0.0 if deltas is None else deltas[b]
+        for c, comp in enumerate(diffuse):
+            v = np.asarray(mixing_element(comp, bp, thetas[c], d,
+                                          band_index=b))
+            F_pix[b, c] = v[None, :] if v.ndim else v
+    F_mean = F_pix.mean(axis=-1)
+    import jax.numpy as jnp
+    return dc.replace(sys, F=jnp.asarray(F_mean, sys.data.dtype),
+                      F_pix=jnp.asarray(F_pix, sys.data.dtype))
+
+
 def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
-                  deltas=None):
-    """Fullsky spectral-index Gibbs step + mixing-matrix rebuild.
+                  deltas=None, ind_alms=None, pixind=False):
+    """Nonlinear (spectral-index) Gibbs step + mixing-matrix rebuild.
 
     Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
-    updateMixmat per band (comm_diffuse_comp_mod.f90:1662). Round-1 scope:
-    one global theta per parameter (lmax_ind = 0 / fullsky sampler); the
-    per-pixel and region samplers in sampling/specind.py plug into the same
-    slot once per-pixel mixing enters the CG operator.
+    updateMixmat per band (comm_diffuse_comp_mod.f90:1662). Dispatch per
+    component on COMP_LMAX_IND like the reference (:92-193):
+      lmax_ind > 0  -> alm-space MH field sampler (sample_specind_alm)
+      lmax_ind == 0 -> fullsky scalar inversion sampler
+      lmax_ind < 0  -> local sampler: per-pixel inversion draw when
+                       pixind=True, else fullsky scalar
+    Map-valued thetas switch the CG operator to the pixel-mixing path.
     """
-    import dataclasses as dc
     import jax
     import jax.numpy as jnp
 
-    from .model.mixing import mixing_matrix
     from .sampling import specind as si
     from .sampling.chisq import compute_residual
     from .sphere import sht
 
+    ind_alms = ind_alms if ind_alms is not None else {}
     changed = False
     for ci, (pcfg, comp) in enumerate(zip(pcfgs, diffuse)):
         names = list(pcfg.indices.keys())
@@ -269,7 +303,7 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                 if pm is not None and pr:
                     lo, hi = pm - 5 * pr, pm + 5 * pr
                 else:
-                    d = thetas[ci][which]
+                    d = np.mean(thetas[ci][which])
                     lo, hi = d - 0.5 * abs(d) - 0.1, d + 0.5 * abs(d) + 0.1
             sicfg = si.SpecIndConfig(grid_min=float(lo), grid_max=float(hi),
                                      ngrid=96, prior_mean=pm,
@@ -277,17 +311,35 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
             key, k = jax.random.split(key)
             res = compute_residual(sys, plan, state.a, exclude=ci)
             amp_pix = sht.alm2map(plan, state.a[ci])
-            th = si.sample_specind_fullsky(k, comp, bps, sicfg, res, amp_pix,
-                                           sys.inv_rms2,
-                                           tuple(thetas[ci]), which=which)
-            thetas[ci] = tuple(float(th) if j == which else t
+            lmax_ind = pcfg.lmax_ind
+            if lmax_ind and lmax_ind > 0:
+                L = int(min(lmax_ind, plan.lmax))
+                t_alm = ind_alms.get((ci, which))
+                if t_alm is None:
+                    t_alm = jnp.zeros((L + 1, L + 1), state.a.dtype)
+                    t_alm = t_alm.at[0, 0].set(
+                        float(np.mean(thetas[ci][which]))
+                        * np.sqrt(4.0 * np.pi))
+                t_alm, th_map, _ = si.sample_specind_alm(
+                    k, comp, bps, sicfg, plan, res, amp_pix, sys.inv_rms2,
+                    tuple(thetas[ci]), t_alm, which=which, lmax_ind=L)
+                ind_alms[(ci, which)] = t_alm
+                new_t = np.asarray(th_map)
+            elif lmax_ind is not None and lmax_ind < 0 and pixind:
+                th = si.sample_specind_pixel(k, comp, bps, sicfg, res,
+                                             amp_pix, sys.inv_rms2,
+                                             tuple(thetas[ci]), which=which)
+                new_t = np.asarray(th)
+            else:
+                th = si.sample_specind_fullsky(k, comp, bps, sicfg, res,
+                                               amp_pix, sys.inv_rms2,
+                                               tuple(thetas[ci]), which=which)
+                new_t = float(th)
+            thetas[ci] = tuple(new_t if j == which else t
                                for j, t in enumerate(thetas[ci]))
             changed = True
     if changed:
-        F = mixing_matrix(diffuse, bps, thetas=thetas, deltas=deltas)
-        if F.ndim == 2:
-            F = F[..., None].repeat(sys.F.shape[-1], axis=-1)
-        sys = dc.replace(sys, F=jnp.asarray(F, sys.data.dtype))
+        sys = _rebuild_mixing(diffuse, bps, thetas, deltas, sys)
     return key, sys, thetas
 
 
@@ -307,7 +359,7 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
 
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         outdir=None, dtype="float64", verbose=True, tod=False, chain=1,
-        pol=False, data_dir=None):
+        pol=False, data_dir=None, pixind=False):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -420,6 +472,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     tkey = jax.random.fold_in(key, 991)
     skey = jax.random.fold_in(key, 552)
     thetas = [tuple(d.theta0) for d in diffuse]
+    ind_alms = {}
     gains = np.ones(len(cfg.bands))
     bp_deltas = np.zeros(len(cfg.bands))
     if tod_blocks and any(b.sample_bandpass for b in cfg.bands):
@@ -444,19 +497,13 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 # comm_tod_bandpass_mod.f90:28; proposal/accept flow of
                 # commander.f90:299-335) ---
                 if cfg.bands[b].sample_bandpass:
-                    from .model.mixing import mixing_matrix as _mm
                     from .sampling.mh import accept_bandpass_tod
                     tkey, kp, ka = jax.random.split(tkey, 3)
                     prop = bp_deltas[b] + 0.1e9 * float(
                         jax.random.normal(kp, ()))
                     ds = bp_deltas.copy(); ds[b] = prop
-                    F_prop = _mm(diffuse, bps, thetas=thetas,
-                                 deltas=ds.tolist())
-                    if F_prop.ndim == 2:
-                        F_prop = F_prop[..., None].repeat(
-                            sys.F.shape[-1], axis=-1)
-                    sys_prop = dataclasses.replace(
-                        sys, F=jnp.asarray(F_prop, sys.data.dtype))
+                    sys_prop = _rebuild_mixing(diffuse, bps, thetas,
+                                               ds.tolist(), sys)
                     sky_prop = sky_fn_state(sys_prop, plan, state)
                     c2_cur = tod_chisq_fn(tcfg, block, tstate,
                                           sky_bands[b], pvec)
@@ -485,13 +532,28 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         jax.block_until_ready(state.a)
         dt = timer.stop("gibbs")
 
+        # --- resampling mode: joint (alm, Cl) MH moves on the CMB
+        # (sample_joint_alm_Cl x3, commander.f90:222-226) ---
+        if cfg.resample_cmb:
+            from .sampling.mh import sample_joint_alm_cl
+            cmb_idx = next((i for i, d in enumerate(diffuse)
+                            if d.sed == "cmb"), 0)
+            a_cur, clb_cur = state.a, state.cl_bins
+            for _ in range(3):
+                skey, jk = jax.random.split(skey)
+                a_cur, clb_cur, _acc = sample_joint_alm_cl(
+                    jk, gcfg.cl_cfg, sys, plan, a_cur, clb_cur, cmb_idx)
+            state = dataclasses.replace(state, a=a_cur, cl_bins=clb_cur)
+
         # --- nonlinear (spectral index) step + mixing update
         # (sample_nonlin_params, comm_nonlin_mod.f90:92) ---
         if cfg.sample_specind:
             timer.start("specind")
             skey, sys, thetas = _specind_step(skey, cfg, pcfgs, diffuse, bps,
                                               sys, plan, state, thetas,
-                                              deltas=bp_deltas.tolist())
+                                              deltas=bp_deltas.tolist(),
+                                              ind_alms=ind_alms,
+                                              pixind=pixind)
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---
@@ -537,10 +599,15 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(state.cl_bins))
             ell = np.arange(meta["lmax"] + 1)
             dl_fac = ell * (ell + 1) / (2 * np.pi)
-            comps_out = {
-                d.name: {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
-                         "specind": np.asarray(thetas[i], np.float64)}
-                for i, d in enumerate(diffuse)}
+            comps_out = {}
+            for i, d in enumerate(diffuse):
+                entry = {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
+                         "specind": np.asarray(
+                             [np.mean(t) for t in thetas[i]], np.float64)}
+                for j, t in enumerate(thetas[i]):
+                    if np.ndim(t) > 0:   # map-valued spectral index
+                        entry[f"theta_map{j}"] = np.asarray(t)
+                comps_out[d.name] = entry
             extra = {"chisq": chi2, "cg_iters": int(state.cg_iters),
                      "bp_delta": bp_deltas.copy()}
             if state.t is not None:
@@ -572,6 +639,9 @@ def main(argv=None):
                     help="run the TOD layer (synthetic TOD per TOD band)")
     ap.add_argument("--pol", action="store_true",
                     help="polarized run (T,Q,U; requires polarized bands)")
+    ap.add_argument("--pixind", action="store_true",
+                    help="per-pixel spectral indices for components with "
+                         "COMP_LMAX_IND < 0 (pixel-mixing CG operator)")
     ap.add_argument("--data-dir", default=None,
                     help="directory for map/noise/mask files (DATA_DIRECTORY)")
     ap.add_argument("--outdir", default=None)
@@ -590,7 +660,8 @@ def main(argv=None):
     for chain in range(1, max(cfg.numchain, 1) + 1):
         run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
             niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod,
-            chain=chain, pol=args.pol, data_dir=args.data_dir)
+            chain=chain, pol=args.pol, data_dir=args.data_dir,
+            pixind=args.pixind)
 
 
 if __name__ == "__main__":

@@ -61,15 +61,23 @@ def _grid_lnL_pixel(comp: DiffuseComponent, bps: Sequence[Bandpass], cfg,
     `which` is replaced by grid values).
     """
     grid = cfg.grid(res.dtype)
-    # F for each band on the grid: (B, G)
+    P, G = res.shape[-1], grid.shape[0]
+
+    # other-theta slots may be map-valued (per-pixel thetas already drawn
+    # for another parameter): broadcast maps as (P,1) against the (1,G) grid
+    def _other(t):
+        t = jnp.asarray(t)
+        return t[:, None] if t.ndim > 0 else t
+
     Fg = []
     for bp in bps:
-        th = tuple(grid if i == which else t for i, t in enumerate(theta_other))
-        Fg.append(mixing_element(comp, bp, th))
-    Fg = jnp.stack(Fg)                                   # (B, G)
-    # model_bspg = F_bg * a_sp ; chi2 over b,s
+        th = tuple(grid[None, :] if i == which else _other(t)
+                   for i, t in enumerate(theta_other))
+        Fg.append(jnp.broadcast_to(mixing_element(comp, bp, th), (P, G)))
+    Fg = jnp.stack(Fg)                                   # (B, P, G)
+    # model_bspg = F_bpg * a_sp ; chi2 over b,s
     r = res[..., None]                                   # (B,S,P,1)
-    model = Fg[:, None, None, :] * amp_pix[None, :, :, None]
+    model = Fg[:, None, :, :] * amp_pix[None, :, :, None]
     lnl = -0.5 * jnp.sum(inv_rms2[..., None] * jnp.square(r - model), axis=(0, 1))
     return lnl + _lnprior(cfg, grid)[None, :]            # (P, G)
 

@@ -40,6 +40,11 @@ class TodConfig:
     # Gibbs iterations while (sigma0, n_corr) burn in; the reference's
     # accept flags likewise only drop catastrophic scans.
     chisq_reject_sigma: float = 25.0
+    # exact Sherman-Morrison/Woodbury n_corr solve on the gaps instead of
+    # the mean-fill approximation (the reference's get_ncorr_sm_cg path,
+    # comm_tod_noise_mod.f90:308); costs n_iter extra FFT pairs per pass
+    ncorr_exact: bool = False
+    ncorr_cg_iter: int = 15
 
 
 def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
@@ -81,8 +86,13 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
         jnp.asarray(cfg.fknee_grid, resid.dtype))
 
     # --- correlated noise with the fresh PSD -----------------------------
-    n_corr = M.sample_ncorr(k_n, resid, block.mask, sigma0, alpha, fknee,
-                            block.fsamp)
+    if cfg.ncorr_exact:
+        n_corr = M.sample_ncorr_sm(k_n, resid, block.mask, sigma0, alpha,
+                                   fknee, block.fsamp,
+                                   n_iter=cfg.ncorr_cg_iter)
+    else:
+        n_corr = M.sample_ncorr(k_n, resid, block.mask, sigma0, alpha,
+                                fknee, block.fsamp)
     wn_resid = resid - n_corr
 
     # --- per-scan chi^2 and accept flags --------------------------------
