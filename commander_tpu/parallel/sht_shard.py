@@ -110,6 +110,145 @@ def map_to_rings(plan: SHTPlan, maps: jnp.ndarray, mult: int) -> jnp.ndarray:
     return _pad_axis(fr, -2, mult)
 
 
+def sharded_alm2map_spin2_rings(plan: SHTPlan, alm_E: jnp.ndarray,
+                                alm_B: jnp.ndarray, mesh: Mesh,
+                                axis: str = "sphere"):
+    """Spin-2 Y sharded across `axis`: (E, B) alms -> complex polarization
+    P = Q + iU in the padded-ring layout (ring-sharded).
+
+    Same structure as the spin-0 kernel, with both (+2, -2) Legendre tables
+    m-sharded and the two ring streams transposed in ONE all_to_all
+    (stacked on a leading axis). HEALPix convention as
+    sphere.sht.alm2map_spin2."""
+    assert plan.lam_p2 is not None, "plan built without spin2=True"
+    ndev = mesh.shape[axis]
+    nring = plan.nring
+    nring_p = -(-nring // ndev) * ndev
+    nm_p = -(-(plan.mmax + 1) // ndev) * ndev
+
+    cp = _pad_axis(-(alm_E + 1j * alm_B).astype(plan.cdtype), -1, ndev)
+    cm = _pad_axis(-(alm_E - 1j * alm_B).astype(plan.cdtype), -1, ndev)
+    lp = _pad_axis(plan.lam_p2, -1, ndev)
+    lm = _pad_axis(plan.lam_m2, -1, ndev)
+    parity_p = _pad_axis(plan.parity, -1, ndev)
+    tri_p = _pad_axis(plan.lmmask, -1, ndev)
+    mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((nm_p - 1,))]
+                           ).astype(plan.rdtype)
+    synth_A = _pad_axis(_pad_axis(plan.synth_A, 0, ndev), 1, ndev)
+    synth_Vh = _pad_axis(plan.synth_Vh, 0, ndev)
+    synth_B = _pad_axis(plan.synth_B, 0, ndev)
+
+    nb = alm_E.ndim - 2
+    spec_m = P(*([None] * (nb + 1) + [axis]))
+    spec_ring = P(*([None] * nb + [axis, None]))
+
+    def _leg(a, par, tab_n, tab_s):
+        Fn = jnp.einsum("...lm,rlm->...rm", a, tab_n)
+        Fs = jnp.einsum("...lm,rlm->...rm", a * par, tab_s)
+        south = jnp.flip(Fs[..., : plan.nh - 1, :], axis=-2)
+        F = jnp.concatenate([Fn, south], axis=-2)
+        return jnp.pad(F, [(0, 0)] * (F.ndim - 2)
+                       + [(0, nring_p - nring), (0, 0)])
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec_m, spec_m, P(None, None, axis), P(None, None, axis),
+                       P(None, axis), P(None, axis), P(axis, None),
+                       P(axis, None), P(axis, None), P(axis)),
+             out_specs=spec_ring)
+    def kernel(cp_m, cm_m, lp_m, lm_m, par_m, tri_m, sA_r, sVh_r, sB_r,
+               mpos_m):
+        Sp = _leg(cp_m * tri_m, par_m, lp_m, lm_m)
+        Sm = _leg(cm_m * tri_m, par_m, lm_m, lp_m) * mpos_m
+        F2 = jnp.stack([Sp, Sm])                     # (2, ..., nring_p, nm/k)
+        F2 = jax.lax.all_to_all(F2, axis, split_axis=F2.ndim - 2,
+                                concat_axis=F2.ndim - 1, tiled=True)
+
+        def blue(F):
+            u = F * sA_r[:, : F.shape[-1]]
+            flat = u.reshape(-1, u.shape[-1])
+            U = jnp.fft.fft(flat, n=plan.Ls, axis=-1).reshape(
+                *u.shape[:-1], plan.Ls)
+            w = jnp.fft.ifft((U * sVh_r).reshape(-1, plan.Ls),
+                             axis=-1).reshape(*u.shape[:-1], plan.Ls)
+            w = jax.lax.slice_in_dim(w, plan.mmax, plan.mmax + plan.pmax,
+                                     axis=-1)
+            return w * sB_r
+
+        return blue(F2[0]) + jnp.conj(blue(F2[1]))
+
+    return kernel(cp, cm, lp, lm, parity_p, tri_p, synth_A, synth_Vh,
+                  synth_B, mpos)
+
+
+def sharded_spin2_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
+                                axis: str = "sphere", ndim_batch: int = 1):
+    """Adjoint of sharded_alm2map_spin2_rings: padded-ring complex
+    P = Q + iU (ring-sharded) -> (E_hat, B_hat) m-sharded.
+
+    Mirrors sphere.sht.alm2map_spin2_adjoint exactly (eps-metric)."""
+    assert plan.lam_p2 is not None
+    ndev = mesh.shape[axis]
+    nring = plan.nring
+    nm = plan.mmax + 1
+    nm_p = -(-nm // ndev) * ndev
+
+    lp = _pad_axis(plan.lam_p2, -1, ndev)
+    lm = _pad_axis(plan.lam_m2, -1, ndev)
+    parity_p = _pad_axis(plan.parity, -1, ndev)
+    tri_p = _pad_axis(plan.lmmask, -1, ndev)
+    ana_A = _pad_axis(plan.ana_A, 0, ndev)
+    ana_Vh = _pad_axis(plan.ana_Vh, 0, ndev)
+    ana_B = _pad_axis(_pad_axis(plan.ana_B, 0, ndev), 1, ndev)
+    mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((nm_p - 1,))]
+                           ).astype(plan.rdtype)
+    eps = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((nm_p - 1,))]
+                          ).astype(plan.rdtype)
+
+    nb = ndim_batch
+    spec_ring = P(*([None] * nb + [axis, None]))
+    spec_m = P(*([None] * nb + [None, axis]))
+
+    def _leg_adj(F, par, tab_n, tab_s):
+        Fn = F[..., : plan.nh, :]
+        Fs = jnp.flip(F[..., plan.nh: nring, :], axis=-2)
+        a = jnp.einsum("...rm,rlm->...lm", Fn, tab_n)
+        a = a + jnp.einsum("...rm,rlm->...lm", Fs,
+                           tab_s[: plan.nh - 1]) * par
+        return a
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec_ring, P(None, None, axis), P(None, None, axis),
+                       P(None, axis), P(None, axis), P(axis, None),
+                       P(axis, None), P(axis, None), P(axis), P(axis)),
+             out_specs=(spec_m, spec_m))
+    def kernel(f_r, lp_m, lm_m, par_m, tri_m, aA_r, aVh_r, aB_r, mpos_m,
+               eps_m):
+        def blue(u):
+            u = u * aA_r
+            flat = u.reshape(-1, u.shape[-1])
+            U = jnp.fft.fft(flat, n=plan.La, axis=-1).reshape(
+                *u.shape[:-1], plan.La)
+            w = jnp.fft.ifft((U * aVh_r).reshape(-1, plan.La),
+                             axis=-1).reshape(*u.shape[:-1], plan.La)
+            w = jax.lax.slice_in_dim(w, plan.pmax - 1,
+                                     plan.pmax - 1 + aB_r.shape[-1], axis=-1)
+            return w * aB_r
+
+        Gp = blue(f_r.astype(plan.cdtype))
+        K = blue(jnp.conj(f_r).astype(plan.cdtype))
+        F2 = jnp.stack([Gp, K])                      # (2, ..., nring_p/k, nm_p)
+        F2 = jax.lax.all_to_all(F2, axis, split_axis=F2.ndim - 1,
+                                concat_axis=F2.ndim - 2, tiled=True)
+        Up = _leg_adj(F2[0], par_m, lp_m, lm_m) * tri_m
+        Um = _leg_adj(F2[1], par_m, lm_m, lp_m) * tri_m * mpos_m
+        Eh = -(Up + Um) / eps_m
+        Bh = 1j * (Up - Um) / eps_m
+        return Eh, Bh
+
+    return kernel(fr, lp, lm, parity_p, tri_p, ana_A, ana_Vh, ana_B, mpos,
+                  eps)
+
+
 def sharded_alm2map_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
                                   axis: str = "sphere", ndim_batch: int = 1):
     """Yt with the transform sharded across `axis` (adjoint of

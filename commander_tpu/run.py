@@ -269,7 +269,7 @@ def _rebuild_mixing(diffuse, bps, thetas, deltas, sys):
 
 
 def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
-                  deltas=None, ind_alms=None, pixind=False):
+                  deltas=None, ind_alms=None, pixind=False, ind_steps=None):
     """Nonlinear (spectral-index) Gibbs step + mixing-matrix rebuild.
 
     Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
@@ -320,9 +320,19 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                     t_alm = t_alm.at[0, 0].set(
                         float(np.mean(thetas[ci][which]))
                         * np.sqrt(4.0 * np.pi))
-                t_alm, th_map, _ = si.sample_specind_alm(
+                step0 = 0.05 if ind_steps is None else                     ind_steps.setdefault((ci, which), 0.05)
+                nst = 3
+                t_alm, th_map, n_acc = si.sample_specind_alm(
                     k, comp, bps, sicfg, plan, res, amp_pix, sys.inv_rms2,
-                    tuple(thetas[ci]), t_alm, which=which, lmax_ind=L)
+                    tuple(thetas[ci]), t_alm, which=which, lmax_ind=L,
+                    step=step0, nsteps=nst)
+                if ind_steps is not None:
+                    # adaptive step length toward ~50% acceptance (the
+                    # reference's proposal-length tuning in
+                    # sample_specind_alm, comm_nonlin_mod.f90:193-874)
+                    rate = n_acc / nst
+                    ind_steps[(ci, which)] = float(np.clip(
+                        step0 * np.exp(rate - 0.5), 1e-4, 1.0))
                 ind_alms[(ci, which)] = t_alm
                 new_t = np.asarray(th_map)
             elif lmax_ind is not None and lmax_ind < 0 and pixind:
@@ -473,6 +483,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     skey = jax.random.fold_in(key, 552)
     thetas = [tuple(d.theta0) for d in diffuse]
     ind_alms = {}
+    ind_steps = {}
     gains = np.ones(len(cfg.bands))
     bp_deltas = np.zeros(len(cfg.bands))
     if tod_blocks and any(b.sample_bandpass for b in cfg.bands):
@@ -553,7 +564,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                                               sys, plan, state, thetas,
                                               deltas=bp_deltas.tolist(),
                                               ind_alms=ind_alms,
-                                              pixind=pixind)
+                                              pixind=pixind,
+                                              ind_steps=ind_steps)
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---
@@ -623,6 +635,160 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     return state, chain_path
 
 
+def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
+                      dtype="float64", max_nside=None):
+    """Heterogeneous band resolutions: group bands by (nside, lmax) into
+    per-group AmplitudeSystems at their NATIVE resolution, components at the
+    common max band-limit. Mirrors the reference's per-band-resolution
+    cr_matmulA loop with lmax projection (comm_cr_mod.f90:843-954,
+    :858-860)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .instrument.bandpass import delta_bandpass
+    from .instrument.beam import gaussian_bl, pixel_window
+    from .io import fits as fitsio
+    from .model.cl import ClModelConfig, apply_sqrtS
+    from .model.mixing import mixing_matrix
+    from .sampling import amplitude as amp, multires
+    from .sphere import healpix, sht
+    from .sphere.alm import random_alm_white, triangle_mask
+
+    diffuse = [_comp_to_diffuse(c) for c in cfg.comps
+               if c.cclass == "diffuse" and c.ctype not in
+               ("md", "cmb_relquad", "template")]
+    bands = list(cfg.bands)
+    res_of = {}
+    for b in bands:
+        ns = min(b.nside, max_nside) if max_nside else b.nside
+        lm = min(b.lmax, 3 * ns - 1)
+        res_of[b.label] = (ns, lm)
+    group_keys = sorted(set(res_of.values()))
+    lmax_c = max(lm for _, lm in group_keys)
+    nl_c = lmax_c + 1
+    C = len(diffuse)
+    bps = [delta_bandpass(b.nominal_freq_ghz * GHZ, unit=b.unit)
+           for b in bands]
+    F_all = np.asarray(mixing_matrix(diffuse, bps), dtype=dtype)
+
+    ell = np.arange(nl_c, dtype=np.float64)
+    cl0 = np.stack([100.0 / np.maximum(ell * (ell + 1.0), 1.0)
+                    for _ in range(C)])[:, None, :].astype(dtype)
+
+    rng = np.random.default_rng(seed)
+    a_true = None
+    if synthetic:
+        key = jax.random.PRNGKey(seed)
+        a_true = np.asarray(
+            apply_sqrtS(jnp.asarray(cl0),
+                        random_alm_white(key, (C, 1, nl_c, nl_c)))
+            * jnp.asarray(triangle_mask(nl_c, nl_c)))
+
+    groups, plans = [], []
+    for (ns, lm) in group_keys:
+        idxs = [i for i, b in enumerate(bands) if res_of[b.label] == (ns, lm)]
+        plan_g = sht.get_plan(ns, lm, dtype=dtype)
+        npix_g = 12 * ns * ns
+        nl_g = lm + 1
+        pw = pixel_window(ns, lm)
+        bl_g = np.stack([
+            gaussian_bl(bands[i].beam_fwhm_arcmin or 60.0, lm) * pw
+            for i in idxs]).astype(dtype)[:, None, :]
+        rms_g = np.full((len(idxs), 1, npix_g), 10.0, dtype)
+        F_g = F_all[idxs]
+        sys_g = amp.build_system(jnp.asarray(F_g), jnp.asarray(bl_g),
+                                 jnp.asarray(rms_g),
+                                 jnp.asarray(cl0[..., :nl_g]),
+                                 jnp.zeros((len(idxs), 1, npix_g), dtype))
+        if synthetic:
+            a_g = jnp.asarray(a_true[..., :nl_g, :nl_g])
+            sky = np.asarray(amp._synth(
+                plan_g, amp._project_bands(sys_g, plan_g, a_g)))
+            data_g = sky + rms_g * rng.standard_normal(sky.shape)
+        else:
+            data_g = np.zeros((len(idxs), 1, npix_g), dtype)
+            for j, i in enumerate(idxs):
+                b = bands[i]
+                path = os.path.join(data_dir or ".", b.mapfile or "")
+                if b.mapfile and os.path.exists(path):
+                    m = fitsio.read_map(path)[:1]
+                    mns = int(np.sqrt(m.shape[1] / 12))
+                    if mns != ns:
+                        t = healpix.udgrade_indices(mns, ns)
+                        m = m[:, t].mean(-1) if t.ndim == 2 else m[:, t]
+                    data_g[j] = m.astype(dtype)
+        sys_g = dataclasses.replace(sys_g, data=jnp.asarray(data_g))
+        groups.append(sys_g)
+        plans.append(plan_g)
+
+    ms = multires.build_multi_system(groups, jnp.asarray(cl0))
+    bins = tuple(int(x) for x in np.unique(np.concatenate(
+        [[0, 2], np.geomspace(4, max(lmax_c, 5), 10).astype(int)])))
+    cl_cfg = ClModelConfig(kind="binned", lmax=lmax_c, nmaps=1,
+                           bin_starts=bins)
+    meta = {"lmax": lmax_c, "nmaps": 1, "groups": [list(g) for g in
+            [(ns, lm) for ns, lm in group_keys]],
+            "comps": [d.name for d in diffuse],
+            "bands": [b.label for b in bands]}
+    return ms, plans, diffuse, cl_cfg, meta, a_true
+
+
+def run_multires(cfg, niter=None, outdir=None, synthetic=False,
+                 dtype="float64", verbose=True, chain=1, data_dir=None,
+                 max_nside=None):
+    """Gibbs chain over heterogeneous-resolution bands (amplitude + C_ell;
+    the multires counterpart of run())."""
+    import jax
+    import jax.numpy as jnp
+
+    from .io.chain import ChainFile
+    from .model.cl import bin_index_table, cl_eval, sample_cl_binned_invgamma
+    from .sampling import multires
+
+    (ms, plans, diffuse, cl_cfg, meta, a_true) = build_multi_model(
+        cfg, synthetic=synthetic, data_dir=data_dir, dtype=dtype,
+        max_nside=max_nside)
+    outdir = outdir or cfg.output_dir or "./chains"
+    os.makedirs(outdir, exist_ok=True)
+    niter = niter or cfg.num_gibbs_iter
+    nbins = len(cl_cfg.bin_starts)
+    idx = bin_index_table(cl_cfg)
+    chain_path = os.path.join(outdir, f"chain_mr_c{chain:04d}.h5")
+    ch = ChainFile(chain_path)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed), chain)
+    cl_bins = jnp.full((len(diffuse), 1, nbins), 100.0)
+
+    @jax.jit
+    def step(ms_in, plans_in, cl_bins, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        cl = jax.vmap(lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(cl_bins)
+        ms2 = dataclasses.replace(ms_in, cl=cl)
+        a, res = multires.sample_amplitudes_multi(ms2, plans_in, key=k1,
+                                                  tol=cfg.cg_tol,
+                                                  maxiter=cfg.cg_maxiter)
+        keys = jax.random.split(k2, a.shape[0])
+        clb = jax.vmap(lambda kk, ac: sample_cl_binned_invgamma(
+            kk, cl_cfg, ac))(keys, a)
+        return a, clb, res.iters, res.rel_res, k3
+
+    a = None
+    for it in range(1, niter + 1):
+        a, cl_bins, iters, relres, key = step(ms, tuple(plans), cl_bins, key)
+        if verbose:
+            print(f"iter {it:5d}  cg {int(iters):3d} "
+                  f"({float(relres):.1e})", flush=True)
+        if it % cfg.thinning == 0:
+            a_np = np.asarray(jnp.stack([a.real, a.imag]))
+            comps_out = {d.name: {"alm": a_np[0][i] + 1j * a_np[1][i]}
+                         for i, d in enumerate(diffuse)}
+            ch.write_sample(it, comps_out,
+                            gains=np.ones(len(cfg.bands)),
+                            extra={"cg_iters": int(iters)})
+    ch.close()
+    return a, chain_path, a_true
+
+
 def main(argv=None):
     from .io.params import Params, lower_params
 
@@ -642,6 +808,11 @@ def main(argv=None):
     ap.add_argument("--pixind", action="store_true",
                     help="per-pixel spectral indices for components with "
                          "COMP_LMAX_IND < 0 (pixel-mixing CG operator)")
+    ap.add_argument("--multires", action="store_true",
+                    help="keep bands at their native (nside, lmax); "
+                         "amplitude+Cl Gibbs over resolution groups")
+    ap.add_argument("--max-nside", type=int, default=None,
+                    help="cap band nside in multires mode")
     ap.add_argument("--data-dir", default=None,
                     help="directory for map/noise/mask files (DATA_DIRECTORY)")
     ap.add_argument("--outdir", default=None)
@@ -658,10 +829,16 @@ def main(argv=None):
 
     cfg = lower_params(Params.load(args.paramfile))
     for chain in range(1, max(cfg.numchain, 1) + 1):
-        run(cfg, nside=args.nside, lmax=args.lmax, synthetic=args.synthetic,
-            niter=args.niter, outdir=args.outdir, dtype=dtype, tod=args.tod,
-            chain=chain, pol=args.pol, data_dir=args.data_dir,
-            pixind=args.pixind)
+        if args.multires:
+            run_multires(cfg, niter=args.niter, outdir=args.outdir,
+                         synthetic=args.synthetic, dtype=dtype, chain=chain,
+                         data_dir=args.data_dir, max_nside=args.max_nside)
+        else:
+            run(cfg, nside=args.nside, lmax=args.lmax,
+                synthetic=args.synthetic, niter=args.niter,
+                outdir=args.outdir, dtype=dtype, tod=args.tod,
+                chain=chain, pol=args.pol, data_dir=args.data_dir,
+                pixind=args.pixind)
 
 
 if __name__ == "__main__":
