@@ -1,0 +1,87 @@
+"""Amplitude CG with the SHTs m/ring-sharded across a device mesh (P2).
+
+For large single transforms (nside >= 1024) the reference distributes each
+SHT across ranks (sharp_execute_mpi); the per-band loop of cr_matmulA then
+runs every band's transform distributed (comm_cr_mod.f90:843-954). Here the
+whole CG operator is built from the sharded transforms of
+parallel.sht_shard: band alms (B, S, nl, nm) feed ONE m-sharded batched
+synthesis, the noise weighting happens in the ring-sharded padded layout,
+and the adjoint returns m-sharded alms. CG inner products over the sharded
+arrays reduce globally through XLA collectives.
+
+Scope: spin-0 (S = 1) systems with constant mixing — the P2 regime of
+BASELINE configs 3-4 (high-nside CMB+foreground amplitude solves).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..ops.cg import pcg
+from ..sphere.alm import alm_dot
+from ..sampling import amplitude as amp
+from .sht_shard import (map_to_rings, rings_to_map, sharded_alm2map_rings,
+                        sharded_alm2map_adjoint_rings)
+
+
+def ring_layout_invN(sys: amp.AmplitudeSystem, plan, mesh: Mesh,
+                     axis: str = "sphere"):
+    """Pre-shard N^-1 (and data) into the padded-ring layout."""
+    ndev = mesh.shape[axis]
+    inv2 = map_to_rings(plan, sys.inv_rms2, ndev)
+    inv1 = map_to_rings(plan, sys.inv_rms, ndev)
+    data = map_to_rings(plan, sys.data, ndev)
+    return inv2, inv1, data
+
+
+def apply_A_sharded(sys: amp.AmplitudeSystem, plan, mesh: Mesh,
+                    inv2_r, u, axis: str = "sphere"):
+    """(1 + S^1/2 A^T N^-1 A S^1/2) u with distributed SHTs."""
+    a = amp._sqrtS(sys, u)
+    alm_b = amp._project_bands(sys, plan, a)            # (B,S,nl,nm)
+    fr = sharded_alm2map_rings(plan, alm_b, mesh, axis)
+    fr = fr * inv2_r
+    r_b = sharded_alm2map_adjoint_rings(plan, fr, mesh, axis,
+                                        ndim_batch=alm_b.ndim - 2)
+    r_b = r_b[..., : plan.mmax + 1]
+    r = amp._project_bands_T(sys, plan, r_b)
+    return u + amp._sqrtS(sys, r)
+
+
+def compute_rhs_sharded(sys, plan, mesh, inv2_r, inv1_r, data_r, key=None,
+                        axis: str = "sphere"):
+    w = data_r * inv2_r
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+        eta1 = jax.random.normal(k1, data_r.shape, data_r.dtype)
+        w = w + eta1 * inv1_r
+    r_b = sharded_alm2map_adjoint_rings(plan, w, mesh, axis,
+                                        ndim_batch=data_r.ndim - 2)
+    r_b = r_b[..., : plan.mmax + 1]
+    rhs = amp._sqrtS(sys, amp._project_bands_T(sys, plan, r_b))
+    if key is not None:
+        from ..sphere.alm import random_alm_white
+        eta2 = random_alm_white(k2, rhs.shape, sys.data.dtype) * sys.tri
+        rhs = rhs + eta2
+    return rhs
+
+
+def sample_amplitudes_sharded(sys: amp.AmplitudeSystem, plan, mesh: Mesh,
+                              key=None, tol=1e-8, maxiter=300,
+                              axis: str = "sphere"):
+    """Distributed-SHT amplitude draw (Wiener mean when key is None).
+
+    Note: the fluctuation draw in the ring layout includes the padded
+    (invalid) slots; they carry zero inv_rms so they do not contribute.
+    """
+    inv2_r, inv1_r, data_r = ring_layout_invN(sys, plan, mesh, axis)
+    rhs = compute_rhs_sharded(sys, plan, mesh, inv2_r, inv1_r, data_r, key,
+                              axis)
+    M_inv = amp.build_preconditioner(sys, plan)
+    res = pcg(partial(apply_A_sharded, sys, plan, mesh, inv2_r), rhs,
+              M_inv=M_inv, dot=alm_dot, tol=tol, maxiter=maxiter)
+    return amp._sqrtS(sys, res.x), res
