@@ -369,7 +369,7 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
 
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         outdir=None, dtype="float64", verbose=True, tod=False, chain=1,
-        pol=False, data_dir=None, pixind=False):
+        pol=False, data_dir=None, pixind=False, te_cl=False):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -395,7 +395,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         pol=pol, data_dir=data_dir)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
                              cg_maxiter=cfg.cg_maxiter,
-                             sample_cl=cfg.sample_powspec,
+                             sample_cl=cfg.sample_powspec and not te_cl,
                              optimize=(cfg.operation == "optimize"))
     nbins = len(cl_cfg.bin_starts)
     niter = niter or cfg.num_gibbs_iter
@@ -424,10 +424,11 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     # seed Cl bins from the prior model
     from .model.cl import bin_index_table
     idx = bin_index_table(cl_cfg)
-    binned0 = np.stack([np.bincount(idx, weights=cl0[c, 0],
-                                    minlength=nbins)
-                        / np.maximum(np.bincount(idx, minlength=nbins), 1)
-                        for c in range(cl0.shape[0])])[:, None, :]
+    binned0 = np.stack([
+        np.stack([np.bincount(idx, weights=cl0[c, s], minlength=nbins)
+                  / np.maximum(np.bincount(idx, minlength=nbins), 1)
+                  for s in range(meta["nmaps"])])
+        for c in range(cl0.shape[0])])
     state = dataclasses.replace(state, cl_bins=jnp.asarray(binned0))
     if prev is not None:
         a0 = np.stack([prev["comps"][d.name]["alm"] for d in diffuse])
@@ -542,6 +543,31 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         state = step(sys, plan, state, ts, ps)
         jax.block_until_ready(state.a)
         dt = timer.stop("gibbs")
+
+        # --- TE-coupled C_ell draw (full binned inverse-Wishart,
+        # sample_Cls_inverse_wishart poltype-1; comm_Cl_mod.f90:865-1006):
+        # the symmetric-root sqrtS_mat feeds the NEXT amplitude solve;
+        # cl_bins keep the Stokes diagonal for preconditioner + output ---
+        if te_cl and meta["nmaps"] == 3:
+            from .model.cl import (bin_index_table as _bit, full_cl_matrix,
+                                   sample_cl_binned_invwishart_TE, sqrt_psd)
+            idx_t = jnp.asarray(_bit(gcfg.cl_cfg))
+            new_bins = np.array(np.asarray(state.cl_bins))
+            cl_mats = []
+            for ci in range(len(diffuse)):
+                skey, ck = jax.random.split(skey)
+                cl_te, cl_b = sample_cl_binned_invwishart_TE(
+                    ck, gcfg.cl_cfg, state.a[ci])
+                cl_mats.append(full_cl_matrix(cl_te, cl_b, idx_t))
+                new_bins[ci, 0] = np.asarray(cl_te[:, 0, 0])
+                new_bins[ci, 1] = np.asarray(cl_te[:, 1, 1])
+                new_bins[ci, 2] = np.asarray(cl_b)
+            cl_mat = jnp.stack(cl_mats)               # (C, nl, 3, 3)
+            sys = dataclasses.replace(
+                sys, sqrtS_mat=sqrt_psd(cl_mat),
+                cl=jnp.einsum("clss->csl", cl_mat))
+            state = dataclasses.replace(state,
+                                        cl_bins=jnp.asarray(new_bins))
 
         # --- resampling mode: joint (alm, Cl) MH moves on the CMB
         # (sample_joint_alm_Cl x3, commander.f90:222-226) ---
@@ -808,6 +834,9 @@ def main(argv=None):
     ap.add_argument("--pixind", action="store_true",
                     help="per-pixel spectral indices for components with "
                          "COMP_LMAX_IND < 0 (pixel-mixing CG operator)")
+    ap.add_argument("--te-cl", action="store_true",
+                    help="TE-coupled binned inverse-Wishart C_ell sampling "
+                         "(polarized runs; matrix S^1/2 in the CG)")
     ap.add_argument("--multires", action="store_true",
                     help="keep bands at their native (nside, lmax); "
                          "amplitude+Cl Gibbs over resolution groups")
@@ -838,7 +867,7 @@ def main(argv=None):
                 synthetic=args.synthetic, niter=args.niter,
                 outdir=args.outdir, dtype=dtype, tod=args.tod,
                 chain=chain, pol=args.pol, data_dir=args.data_dir,
-                pixind=args.pixind)
+                pixind=args.pixind, te_cl=args.te_cl)
 
 
 if __name__ == "__main__":

@@ -68,3 +68,21 @@ def test_alm_ind_sampler_dispatch(tmp_path_factory):
         has_map = any(k.startswith("theta_map")
                       for comp in s["comps"].values() for k in comp)
         assert has_map
+
+
+def test_te_cl_polarized_mode(tmp_path_factory):
+    """TE-coupled C_ell sampling in the polarized driver (--te-cl):
+    matrix S^1/2 feeds the CG; TT/EE/BB bins stay consistent."""
+    cfg = _cfg()
+    cfg.comps = [c for c in cfg.comps if c.label in ("cmb", "synch")]
+    for b in cfg.bands:
+        b.polarized = True
+    out = str(tmp_path_factory.mktemp("chains_te"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=3,
+                            outdir=out, verbose=False, pol=True, te_cl=True)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(3)
+        assert np.isfinite(float(s["aux"]["chisq"]))
+    bins = np.asarray(state.cl_bins)
+    assert bins.shape[1] == 3
+    assert np.all(np.isfinite(bins)) and np.all(bins >= 0)
