@@ -222,17 +222,28 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
     from .tod.process import TodConfig, init_tod_state
     from .tod.sim import simulate_tod
 
+    from .tod.differential import simulate_tod_diff
+
     blocks = {}
     sky0 = np.asarray(sys.data)  # synthetic data as the TOD's sky truth
     for b, band in enumerate(cfg.bands):
         if band.tod_type in (None, "none"):
             continue
         tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ)
-        block, truth = simulate_tod(
-            nside, sky0[b], nscan=8, ndet=2, ntod=4096,
-            sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
-            gain0=1.0, seed=seed + b)
-        blocks[b] = (tcfg, block, init_tod_state(block))
+        kind = str(band.tod_type).upper()
+        if kind == "WMAP":
+            # differential-horn pipeline (process_WMAP_tod)
+            block, truth = simulate_tod_diff(
+                nside, sky0[b], nscan=4, ndet=2, ntod=2048,
+                sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
+                gain0=1.0, seed=seed + b)
+            blocks[b] = (tcfg, block, init_tod_state(block), "diff")
+        else:
+            block, truth = simulate_tod(
+                nside, sky0[b], nscan=8, ndet=2, ntod=4096,
+                sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
+                gain0=1.0, seed=seed + b)
+            blocks[b] = (tcfg, block, init_tod_state(block), "lfi")
     return blocks
 
 
@@ -360,10 +371,10 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
     archive scalars; synthetic runs need the burn-in)."""
     import jax
     for _ in range(npasses):
-        for b, (tcfg, block, tstate) in tod_blocks.items():
+        for b, (tcfg, block, tstate, kind) in tod_blocks.items():
             key, k = jax.random.split(key)
-            tstate, _ = tod_step(tcfg, block, tstate, sky_bands[b], k)
-            tod_blocks[b] = (tcfg, block, tstate)
+            tstate, _ = tod_step[kind](tcfg, block, tstate, sky_bands[b], k)
+            tod_blocks[b] = (tcfg, block, tstate, kind)
     return key
 
 
@@ -470,11 +481,18 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         state = gibbs.gibbs_step(gcfg, sys, plan, state, ts, ps)
         tod_blocks = _setup_synthetic_tod(cfg, plan, sys, diffuse,
                                           meta["nside"], seed=cfg.base_seed)
+        from .tod.differential import process_tod_diff
         pvec = jnp.asarray(healpix.pix2vec_ring(meta["nside"]))
-        tod_step = jax.jit(
-            lambda tcfg, block, tstate, sky, k: process_tod(
-                tcfg, block, tstate, sky, pvec, k),
-            static_argnums=0)
+        tod_step = {
+            "lfi": jax.jit(
+                lambda tcfg, block, tstate, sky, k: process_tod(
+                    tcfg, block, tstate, sky, pvec, k),
+                static_argnums=0),
+            "diff": jax.jit(
+                lambda tcfg, block, tstate, sky, k: process_tod_diff(
+                    tcfg, block, tstate, sky, pvec, k),
+                static_argnums=0),
+        }
         tkey0 = jax.random.fold_in(key, 772)
         _tod_burnin(tod_blocks, tod_step, sky_fn_state(sys, plan, state),
                     tkey0)
@@ -501,10 +519,11 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             with np.errstate(divide="ignore"):
                 new_rms = np.array(1.0 / np.maximum(np.asarray(sys.inv_rms),
                                                     1e-30))
-            for b, (tcfg, block, tstate) in tod_blocks.items():
+            for b, (tcfg, block, tstate, kind) in tod_blocks.items():
                 tkey, k = jax.random.split(tkey)
-                tstate, prod = tod_step(tcfg, block, tstate, sky_bands[b], k)
-                tod_blocks[b] = (tcfg, block, tstate)
+                tstate, prod = tod_step[kind](tcfg, block, tstate,
+                                              sky_bands[b], k)
+                tod_blocks[b] = (tcfg, block, tstate, kind)
                 # --- bandpass-shift MH on the TOD chi^2 (sample_bp,
                 # comm_tod_bandpass_mod.f90:28; proposal/accept flow of
                 # commander.f90:299-335) ---

@@ -86,3 +86,18 @@ def test_te_cl_polarized_mode(tmp_path_factory):
     bins = np.asarray(state.cl_bins)
     assert bins.shape[1] == 3
     assert np.all(np.isfinite(bins)) and np.all(bins >= 0)
+
+
+def test_wmap_differential_tod_band(tmp_path_factory):
+    """BAND_TOD_TYPE = WMAP routes through the differential-horn pipeline
+    (process_WMAP_tod, comm_tod_WMAP_mod.f90:142-485)."""
+    cfg = _cfg()
+    for b in cfg.bands:
+        b.tod_type = "WMAP"
+    cfg.enable_tod = True
+    out = str(tmp_path_factory.mktemp("chains_wmap"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=2,
+                            outdir=out, verbose=False, tod=True)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(2)
+        assert np.isfinite(float(s["aux"]["chisq"]))
