@@ -301,3 +301,145 @@ def sharded_alm2map_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
         return a * tri_m
 
     return kernel(fr, lam_p, parity_p, tri_p, ana_A, ana_Vh, ana_B)
+
+
+# ---------------------------------------------------------------------------
+# On-the-fly (tableless) sharded transforms: the nside >= 1024 path where
+# even the m-shard of a Legendre table would not fit HBM. The recurrence
+# state (seeds, coefficients) is sharded on m; each device regenerates its
+# m-block Lambda chunks on the fly (sht_otf), then the standard all_to_all
+# ring transpose + ring-local Bluestein stages run as in the table kernels.
+# ---------------------------------------------------------------------------
+
+def _otf_local(otf, seed_mant, seed_exp, A, Bc, beta, parity_m, m_vals):
+    """Rebuild a LegendreOTF view over a local m-block inside shard_map."""
+    import dataclasses as dc
+
+    return dc.replace(otf, seed_mant=seed_mant, seed_exp=seed_exp, A=A,
+                      Bc=Bc, beta=beta, parity_m=parity_m, m_vals=m_vals,
+                      mmax=m_vals.shape[0] - 1)
+
+
+def _otf_sharded_parts(otf, ndev):
+    parts = dict(
+        seed_mant=_pad_axis(otf.seed_mant, -1, ndev),
+        seed_exp=_pad_axis(otf.seed_exp, -1, ndev),
+        A=_pad_axis(otf.A, -1, ndev),
+        Bc=_pad_axis(otf.Bc, -1, ndev),
+        beta=_pad_axis(otf.beta, -1, ndev),
+        parity_m=_pad_axis(otf.parity_m, -1, ndev),
+        m_vals=_pad_axis(otf.m_vals, -1, ndev),
+    )
+    specs = dict(seed_mant=P(None, "__AX__"), seed_exp=P(None, "__AX__"),
+                 A=P(None, "__AX__"), Bc=P(None, "__AX__"),
+                 beta=P(None, "__AX__"), parity_m=P("__AX__"),
+                 m_vals=P("__AX__"))
+    return parts, specs
+
+
+def sharded_alm2map_otf_rings(plan: SHTPlan, otf, alm: jnp.ndarray,
+                              mesh: Mesh, axis: str = "sphere"):
+    """Tableless Y sharded across `axis`: on-the-fly Legendre per m-block +
+    all_to_all ring transpose + ring-local Bluestein. Output as
+    sharded_alm2map_rings (padded-ring maps, ring-sharded)."""
+    from ..sphere.sht_otf import synth_legendre_otf
+
+    ndev = mesh.shape[axis]
+    nring = plan.nring
+    nring_p = -(-nring // ndev) * ndev
+    nm_p = -(-(plan.mmax + 1) // ndev) * ndev
+
+    alm_p = _pad_axis(alm.astype(plan.cdtype), -1, ndev)
+    parts, specs = _otf_sharded_parts(otf, ndev)
+    fix = lambda s: P(*[axis if x == "__AX__" else x for x in s])
+    scale = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((nm_p - 1,))]
+                            ).astype(plan.rdtype)
+    synth_A = _pad_axis(_pad_axis(plan.synth_A, 0, ndev), 1, ndev)
+    synth_Vh = _pad_axis(plan.synth_Vh, 0, ndev)
+    synth_B = _pad_axis(plan.synth_B, 0, ndev)
+
+    spec_m = P(*([None] * (alm.ndim - 1) + [axis]))
+    spec_ring = P(*([None] * (alm.ndim - 2) + [axis, None]))
+    part_keys = sorted(parts)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec_m,) + tuple(fix(specs[k]) for k in part_keys)
+             + (P(axis, None), P(axis, None), P(axis, None), P(axis)),
+             out_specs=spec_ring)
+    def kernel(a_m, *rest):
+        pk = dict(zip(part_keys, rest[: len(part_keys)]))
+        sA_r, sVh_r, sB_r, scale_m = rest[len(part_keys):]
+        lotf = _otf_local(otf, pk["seed_mant"], pk["seed_exp"], pk["A"],
+                          pk["Bc"], pk["beta"], pk["parity_m"],
+                          pk["m_vals"])
+        Fn, Fs = synth_legendre_otf(lotf, None, a_m, plan.nh)
+        south = jnp.flip(Fs[..., : plan.nh - 1, :], axis=-2)
+        F = jnp.concatenate([Fn, south], axis=-2) * scale_m
+        F = jnp.pad(F, [(0, 0)] * (F.ndim - 2)
+                    + [(0, nring_p - nring), (0, 0)])
+        F = jax.lax.all_to_all(F, axis, split_axis=F.ndim - 2,
+                               concat_axis=F.ndim - 1, tiled=True)
+        u = F * sA_r[:, : F.shape[-1]]
+        flat = u.reshape(-1, u.shape[-1])
+        U = jnp.fft.fft(flat, n=plan.Ls, axis=-1).reshape(
+            *u.shape[:-1], plan.Ls)
+        w = jnp.fft.ifft((U * sVh_r).reshape(-1, plan.Ls), axis=-1).reshape(
+            *u.shape[:-1], plan.Ls)
+        w = jax.lax.slice_in_dim(w, plan.mmax, plan.mmax + plan.pmax,
+                                 axis=-1)
+        return (w * sB_r).real.astype(plan.rdtype)
+
+    return kernel(alm_p, *[parts[k] for k in part_keys], synth_A, synth_Vh,
+                  synth_B, scale)
+
+
+def sharded_adjoint_otf_rings(plan: SHTPlan, otf, fr: jnp.ndarray,
+                              mesh: Mesh, axis: str = "sphere",
+                              ndim_batch: int = 1):
+    """Tableless Yt sharded across `axis` (adjoint of
+    sharded_alm2map_otf_rings)."""
+    from ..sphere.sht_otf import adjoint_legendre_otf
+
+    ndev = mesh.shape[axis]
+    nring = plan.nring
+
+    parts, specs = _otf_sharded_parts(otf, ndev)
+    fix = lambda s: P(*[axis if x == "__AX__" else x for x in s])
+    ana_A = _pad_axis(plan.ana_A, 0, ndev)
+    ana_Vh = _pad_axis(plan.ana_Vh, 0, ndev)
+    ana_B = _pad_axis(_pad_axis(plan.ana_B, 0, ndev), 1, ndev)
+
+    nb = ndim_batch
+    spec_ring = P(*([None] * nb + [axis, None]))
+    spec_m = P(*([None] * nb + [None, axis]))
+    part_keys = sorted(parts)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(spec_ring,) + tuple(fix(specs[k]) for k in part_keys)
+             + (P(axis, None), P(axis, None), P(axis, None)),
+             out_specs=spec_m)
+    def kernel(f_r, *rest):
+        pk = dict(zip(part_keys, rest[: len(part_keys)]))
+        aA_r, aVh_r, aB_r = rest[len(part_keys):]
+        u = f_r.astype(plan.cdtype) * aA_r
+        flat = u.reshape(-1, u.shape[-1])
+        U = jnp.fft.fft(flat, n=plan.La, axis=-1).reshape(
+            *u.shape[:-1], plan.La)
+        w = jnp.fft.ifft((U * aVh_r).reshape(-1, plan.La), axis=-1).reshape(
+            *u.shape[:-1], plan.La)
+        w = jax.lax.slice_in_dim(w, plan.pmax - 1,
+                                 plan.pmax - 1 + aB_r.shape[-1], axis=-1)
+        F = w * aB_r
+        F = jax.lax.all_to_all(F, axis, split_axis=F.ndim - 1,
+                               concat_axis=F.ndim - 2, tiled=True)
+        lotf = _otf_local(otf, pk["seed_mant"], pk["seed_exp"], pk["A"],
+                          pk["Bc"], pk["beta"], pk["parity_m"],
+                          pk["m_vals"])
+        F_n = F[..., : plan.nh, :]
+        F_s = jnp.flip(F[..., plan.nh: nring, :], axis=-2)
+        pad = plan.nh - 1 - F_s.shape[-2]
+        F_s = jnp.pad(F_s, [(0, 0)] * (F_s.ndim - 2)
+                      + [(0, pad + 1), (0, 0)])
+        return adjoint_legendre_otf(lotf, F_n, F_s)
+
+    return kernel(fr, *[parts[k] for k in part_keys], ana_A, ana_Vh, ana_B)

@@ -37,7 +37,7 @@ _SCALE_POW = 30  # rescale granularity 2^30 (f32-safe)
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["seed_mant", "seed_exp", "A", "Bc", "beta", "x", "norm",
-                 "parity_m"],
+                 "parity_m", "m_vals"],
     meta_fields=["lmax", "mmax", "mp", "chunk"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +51,8 @@ class LegendreOTF:
     x: jax.Array           # (nh,) cos(theta)
     norm: jax.Array        # (nl,) sqrt((2l+1)/4pi)
     parity_m: jax.Array    # (nm,) (-1)^m
+    m_vals: jax.Array      # (nm,) int32 GLOBAL m of each column (supports
+                           # m-sharded blocks carrying a slice of the m axis)
     lmax: int
     mmax: int
     mp: int
@@ -119,14 +121,14 @@ def legendre_otf(nside: int, lmax: int, mp: int, dtype: str = "float32",
         x=cast(g.z[:nh]),
         norm=cast(np.sqrt((2 * ell[:, 0] + 1) / (4 * np.pi))),
         parity_m=cast((-1.0) ** np.arange(nm)),
+        m_vals=jnp.asarray(np.arange(nm, dtype=np.int32)),
         lmax=lmax, mmax=mmax, mp=mp, chunk=chunk)
 
 
 def _rec_step(otf: LegendreOTF, carry, l):
     """One l-step of the scaled recurrence; emits normalized lambda row."""
     dt = otf.seed_mant.dtype
-    nm = otf.mmax + 1
-    mm = jnp.arange(nm, dtype=jnp.int32)
+    mm = otf.m_vals
     big = jnp.asarray(2.0 ** _SCALE_POW, dt)
     bigi = jnp.asarray(2.0 ** -_SCALE_POW, dt)
     prev, prev_e, cur, cur_e = carry
@@ -154,10 +156,12 @@ def _rec_step(otf: LegendreOTF, carry, l):
 
 
 def _init_rec_carry(otf: LegendreOTF):
-    nh, nm = otf.seed_mant.shape
-    dt = otf.seed_mant.dtype
-    return (jnp.zeros((nh, nm), dt), jnp.zeros((nh, nm), jnp.int32),
-            jnp.zeros((nh, nm), dt), jnp.full((nh, nm), -128, jnp.int32))
+    # derive from the OTF arrays (zeros_like) so the carry inherits any
+    # device-varying sharding inside shard_map (scan requires carry in/out
+    # types, incl. varying manual axes, to match)
+    z = jnp.zeros_like(otf.seed_mant)
+    zi = jnp.zeros_like(otf.seed_exp)
+    return (z, zi, z, zi - 128)
 
 
 def _lam_chunks_scan(otf: LegendreOTF, body_per_chunk, init_extra):
@@ -215,7 +219,9 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
         Fo = Fo + jnp.einsum("...lm,lrm->...rm", a_c * (1.0 - even), lam)
         return (rec, Fe, Fo), None
 
-    Fe0 = jnp.zeros(batch + (nh, nm), cdt)
+    Fe0 = jnp.zeros(batch + (nh, 1), cdt) \
+        + (otf.seed_mant[:, :1] * 0).astype(cdt) \
+        + (otf.parity_m * 0).astype(cdt)
     l0s = jnp.arange(nchunks, dtype=jnp.int32) * L
     (rec, Fe, Fo), _ = jax.lax.scan(
         chunk_body, (_init_rec_carry(otf), Fe0, Fe0), (a_chunks, l0s))
@@ -282,7 +288,9 @@ def synth_spin2_otf(otf_p: LegendreOTF, otf_m: LegendreOTF, cp: jnp.ndarray,
         Om = Om + jnp.einsum("k...lm,lrm->k...rm", co, lam_m)
         return (rec_p, rec_m, Ep, Op, Em, Om), None
 
-    z = jnp.zeros((2,) + batch + (nh, nm), cdt)
+    z = jnp.zeros((2,) + batch + (nh, 1), cdt) \
+        + (otf_p.seed_mant[:, :1] * 0).astype(cdt) \
+        + (otf_p.parity_m * 0).astype(cdt)
     l0s = jnp.arange(nchunks, dtype=jnp.int32) * L
     (rp, rm, Ep, Op, Em, Om), _ = jax.lax.scan(
         chunk_body, (_init_rec_carry(otf_p), _init_rec_carry(otf_m),

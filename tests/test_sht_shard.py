@@ -93,3 +93,42 @@ def test_sharded_spin2_adjoint_matches_local():
     scale = np.abs(np.asarray(Er)).max()
     assert np.abs(E[..., :nm] - np.asarray(Er)).max() < 1e-10 * scale
     assert np.abs(B[..., :nm] - np.asarray(Br)).max() < 1e-10 * scale
+
+
+def test_sharded_otf_synthesis_matches_local():
+    from commander_tpu.parallel.sht_shard import sharded_alm2map_otf_rings
+    from commander_tpu.sphere.sht_otf import legendre_otf
+    nside, lmax = 16, 32
+    plan = sht.get_plan(nside, lmax)
+    otf = legendre_otf(nside, lmax, 0, dtype="float64")
+    mesh = Mesh(np.asarray(jax.devices()), axis_names=("sphere",))
+    rng = np.random.default_rng(4)
+    nl = lmax + 1
+    alm = rng.standard_normal((2, nl, nl)) + 1j * rng.standard_normal((2, nl, nl))
+    for l in range(nl):
+        alm[:, l, l + 1:] = 0
+    alm[:, :, 0] = alm[:, :, 0].real
+    ref = np.asarray(sht.alm2map(plan, jnp.asarray(alm)))
+    with mesh:
+        fr = sharded_alm2map_otf_rings(plan, otf, jnp.asarray(alm), mesh)
+        m = np.asarray(rings_to_map(plan, fr))
+    assert np.abs(m - ref).max() < 1e-9 * max(np.abs(ref).max(), 1.0)
+
+
+def test_sharded_otf_adjoint_matches_local():
+    from commander_tpu.parallel.sht_shard import (map_to_rings,
+                                                  sharded_adjoint_otf_rings)
+    from commander_tpu.sphere.sht_otf import legendre_otf
+    nside, lmax = 16, 32
+    plan = sht.get_plan(nside, lmax)
+    otf = legendre_otf(nside, lmax, 0, dtype="float64")
+    ndev = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), axis_names=("sphere",))
+    rng = np.random.default_rng(5)
+    maps = rng.standard_normal((2, 12 * nside * nside))
+    ref = np.asarray(sht.alm2map_adjoint(plan, jnp.asarray(maps)))
+    with mesh:
+        fr = map_to_rings(plan, jnp.asarray(maps), ndev)
+        a = np.asarray(sharded_adjoint_otf_rings(plan, otf, fr, mesh))
+    nm = lmax + 1
+    assert np.abs(a[..., :nm] - ref).max() < 1e-9 * np.abs(ref).max()
