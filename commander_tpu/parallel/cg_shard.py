@@ -9,8 +9,9 @@ synthesis, the noise weighting happens in the ring-sharded padded layout,
 and the adjoint returns m-sharded alms. CG inner products over the sharded
 arrays reduce globally through XLA collectives.
 
-Scope: spin-0 (S = 1) systems with constant mixing — the P2 regime of
-BASELINE configs 3-4 (high-nside CMB+foreground amplitude solves).
+Scope: constant-mixing diagonal-noise systems (S = 1 spin-0 and S = 3
+polarized via the sharded spin-2 kernels) — the P2 regime of BASELINE
+configs 3-4 (high-nside CMB+foreground amplitude solves).
 """
 from __future__ import annotations
 
@@ -25,7 +26,34 @@ from ..ops.cg import pcg
 from ..sphere.alm import alm_dot
 from ..sampling import amplitude as amp
 from .sht_shard import (map_to_rings, rings_to_map, sharded_alm2map_rings,
-                        sharded_alm2map_adjoint_rings)
+                        sharded_alm2map_adjoint_rings,
+                        sharded_alm2map_spin2_rings,
+                        sharded_spin2_adjoint_rings)
+
+
+def _synth_sharded(plan, mesh, alm_b, axis):
+    """Band alms (B,S,nl,nm) -> padded-ring Stokes maps (B,S,...), sharded.
+
+    S=1: spin-0; S=3: T spin-0 + (E,B) spin-2 (mirrors amp._synth)."""
+    if alm_b.shape[1] == 3:
+        T = sharded_alm2map_rings(plan, alm_b[:, 0], mesh, axis)
+        Pc = sharded_alm2map_spin2_rings(plan, alm_b[:, 1], alm_b[:, 2],
+                                         mesh, axis)
+        return jnp.stack([T, Pc.real.astype(T.dtype),
+                          Pc.imag.astype(T.dtype)], axis=1)
+    return sharded_alm2map_rings(plan, alm_b, mesh, axis)
+
+
+def _synth_T_sharded(plan, mesh, fr, axis):
+    """Adjoint of _synth_sharded: ring maps (B,S,...) -> alms (B,S,nl,nm_p)."""
+    if fr.shape[1] == 3:
+        T = sharded_alm2map_adjoint_rings(plan, fr[:, 0], mesh, axis,
+                                          ndim_batch=1)
+        E, B = sharded_spin2_adjoint_rings(
+            plan, fr[:, 1] + 1j * fr[:, 2], mesh, axis, ndim_batch=1)
+        return jnp.stack([T, E, B], axis=1)
+    return sharded_alm2map_adjoint_rings(plan, fr, mesh, axis,
+                                         ndim_batch=fr.ndim - 2)
 
 
 def ring_layout_invN(sys: amp.AmplitudeSystem, plan, mesh: Mesh,
@@ -43,10 +71,9 @@ def apply_A_sharded(sys: amp.AmplitudeSystem, plan, mesh: Mesh,
     """(1 + S^1/2 A^T N^-1 A S^1/2) u with distributed SHTs."""
     a = amp._sqrtS(sys, u)
     alm_b = amp._project_bands(sys, plan, a)            # (B,S,nl,nm)
-    fr = sharded_alm2map_rings(plan, alm_b, mesh, axis)
+    fr = _synth_sharded(plan, mesh, alm_b, axis)
     fr = fr * inv2_r
-    r_b = sharded_alm2map_adjoint_rings(plan, fr, mesh, axis,
-                                        ndim_batch=alm_b.ndim - 2)
+    r_b = _synth_T_sharded(plan, mesh, fr, axis)
     r_b = r_b[..., : plan.mmax + 1]
     r = amp._project_bands_T(sys, plan, r_b)
     return u + amp._sqrtS(sys, r)
@@ -59,8 +86,7 @@ def compute_rhs_sharded(sys, plan, mesh, inv2_r, inv1_r, data_r, key=None,
         k1, k2 = jax.random.split(key)
         eta1 = jax.random.normal(k1, data_r.shape, data_r.dtype)
         w = w + eta1 * inv1_r
-    r_b = sharded_alm2map_adjoint_rings(plan, w, mesh, axis,
-                                        ndim_batch=data_r.ndim - 2)
+    r_b = _synth_T_sharded(plan, mesh, w, axis)
     r_b = r_b[..., : plan.mmax + 1]
     rhs = amp._sqrtS(sys, amp._project_bands_T(sys, plan, r_b))
     if key is not None:

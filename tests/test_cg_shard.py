@@ -57,3 +57,32 @@ def test_sharded_operator_matches_local():
         inv2_r, _, _ = cg_shard.ring_layout_invN(sys, plan, mesh)
         got = np.asarray(cg_shard.apply_A_sharded(sys, plan, mesh, inv2_r, u))
     assert np.abs(got - ref).max() < 1e-10 * np.abs(ref).max()
+
+
+def test_sharded_cg_polarized_matches_local():
+    nside, lmax, nband, ncomp = 8, 16, 2, 1
+    plan = sht.get_plan(nside, lmax, spin2=True)
+    npix, nl = 12 * nside * nside, lmax + 1
+    rng = np.random.default_rng(2)
+    F = 1.0 + rng.uniform(0.2, 1.0, (nband, ncomp))
+    bl = np.ones((nband, 3, nl))
+    rms = rng.uniform(0.5, 3.0, (nband, 3, npix))
+    ell = np.arange(nl)
+    cl = np.zeros((ncomp, 3, nl))
+    cl[:, 0, 2:] = 100.0 / (ell[2:] * (ell[2:] + 1.0))
+    cl[:, 1, 2:] = 20.0 / (ell[2:] * (ell[2:] + 1.0))
+    cl[:, 2, 2:] = 5.0 / (ell[2:] * (ell[2:] + 1.0))
+    data = rng.normal(0, 1, (nband, 3, npix))
+    sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
+                           jnp.asarray(cl), jnp.asarray(data))
+    mesh = Mesh(np.asarray(jax.devices()), axis_names=("sphere",))
+    a_loc, _ = amp.sample_amplitudes(sys, plan, key=None, tol=1e-11,
+                                     maxiter=500)
+    from commander_tpu.parallel import cg_shard
+    with mesh:
+        a_sh, res_sh = cg_shard.sample_amplitudes_sharded(
+            sys, plan, mesh, key=None, tol=1e-11, maxiter=500)
+        a_sh = np.asarray(a_sh)
+    assert bool(res_sh.converged)
+    scale = np.abs(np.asarray(a_loc)).max()
+    assert np.abs(a_sh - np.asarray(a_loc)).max() < 1e-8 * scale
