@@ -86,21 +86,59 @@ class Bandpass:
         else:
             dnu = jnp.gradient(nu)
             base = tau * dnu
-        if self.unit == "uK_cmb":
-            norm = jnp.sum(base * thermo_to_rj(nu))
+        scale = _UNIT_SCALE.get(self.unit)
+        if scale is None:
+            raise ValueError(f"unknown band unit {self.unit}")
+        if self.unit in ("uK_cmb", "mK_cmb", "K_cmb"):
+            norm = jnp.sum(base * thermo_to_rj(nu)) / scale
         elif self.unit == "uK_RJ":
             norm = jnp.sum(base)
-        elif self.unit == "MJy/sr":
+        else:   # MJy/sr
             # IRAS convention: normalize against nu^-1 reference spectrum
             norm = jnp.sum(base * rj_to_MJysr(nu) * (self.nu_c / nu))
-        else:
-            raise ValueError(f"unknown band unit {self.unit}")
         return nu, base / norm
 
     def integrate(self, sed_vals, delta=0.0):
         """Band-integrate precomputed SED values at self nodes (no shift)."""
         _, w = self.weights(delta)
         return jnp.sum(w * sed_vals, axis=-1)
+
+
+def sz_thermo(nu):
+    """Thermal SZ spectral shape in CMB-thermodynamic units:
+    f(x) = x (e^x + 1)/(e^x - 1) - 4 (comm_bp_utils.f90 comp_sz_thermo)."""
+    x = H_PLANCK * jnp.asarray(nu) / (K_BOLTZ * T_CMB)
+    return x * (jnp.exp(x) + 1.0) / jnp.expm1(x) - 4.0
+
+
+def band_sz_conversion(bp: Bandpass) -> float:
+    """y_SZ -> band-map unit conversion (the reference's a2sz family,
+    comm_bp_mod.f90:227-263): band response of the thermal SZ distortion
+    spectrum T_cmb * f_sz(nu) expressed in the band's output unit."""
+    nu, w = bp.weights(0.0)
+    # SZ signal in uK_RJ at each node: y * T_cmb[uK] * f_sz(nu) * dT_RJ/dT
+    s_rj = (T_CMB * 1e6) * sz_thermo(nu) * thermo_to_rj(nu)
+    return float(jnp.sum(w * s_rj))
+
+
+_UNIT_SCALE = {"uK_cmb": 1.0, "mK_cmb": 1e-3, "K_cmb": 1e-6,
+               "uK_RJ": 1.0, "MJy/sr": 1.0}
+
+# per-profile-type relative trimming thresholds on tau
+# (comm_bp_mod.f90:99-116)
+PROFILE_THRESHOLD = {"delta": 0.0, "LFI": 0.0, "WMAP": 0.0, "DIRBE": 0.0,
+                     "HFI_cmb": 1e-7, "PSM_LFI": 1e-7, "HFI_submm": 1e-5,
+                     "dame": 0.0}
+
+
+def trim_profile(nu: np.ndarray, tau: np.ndarray, profile_type: str):
+    """Drop nodes with tau below the profile type's relative threshold
+    (the reference's per-type threshold trimming at read time)."""
+    thr = PROFILE_THRESHOLD.get(profile_type, 0.0)
+    if thr <= 0:
+        return nu, tau
+    keep = tau >= thr * tau.max()
+    return nu[keep], tau[keep]
 
 
 def delta_bandpass(nu0: float, unit: str = "uK_cmb") -> Bandpass:

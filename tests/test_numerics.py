@@ -111,3 +111,39 @@ def test_te_invwishart_moments():
     np.testing.assert_allclose(m_b, clb_true, rtol=0.25)
     # TE correlation sign preserved
     assert np.all(m_te[:, 0, 1] > 0)
+
+
+def test_bandpass_unit_scales_and_sz():
+    """mK/K_cmb unit scales (comm_bp_mod unit_scale :122-126), the thermal
+    SZ conversion (a2sz family :227-263), and profile trimming thresholds
+    (:99-116)."""
+    import numpy as np
+    from commander_tpu.instrument.bandpass import (Bandpass,
+                                                   band_sz_conversion,
+                                                   sz_thermo, trim_profile,
+                                                   tophat_bandpass)
+    nu = np.linspace(80e9, 120e9, 101)
+    tau = np.ones_like(nu)
+    uK = Bandpass(nu=nu, tau=tau, unit="uK_cmb")
+    mK = Bandpass(nu=nu, tau=tau, unit="mK_cmb")
+    K = Bandpass(nu=nu, tau=tau, unit="K_cmb")
+    _, w_u = uK.weights(0.0)
+    _, w_m = mK.weights(0.0)
+    _, w_K = K.weights(0.0)
+    np.testing.assert_allclose(np.asarray(w_m), np.asarray(w_u) * 1e-3,
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w_K), np.asarray(w_u) * 1e-6,
+                               rtol=1e-12)
+    # SZ: f(x) -> -2 at nu -> 0 (the RJ-limit decrement -2y), null at
+    # ~217.5 GHz
+    assert -2.01 < float(sz_thermo(1e9)) < -1.97
+    assert abs(float(sz_thermo(217.5e9))) < 0.05
+    a2sz = band_sz_conversion(uK)
+    # 100 GHz band: y=1 corresponds to ~ -4.1e6 uK_cmb x f/4 ~ -1e6 scale
+    assert -6e6 < a2sz < -2e6
+    # trimming: HFI_cmb drops tau below 1e-7 of peak
+    tau2 = tau.copy(); tau2[:10] = 1e-9
+    nu_t, tau_t = trim_profile(nu, tau2, "HFI_cmb")
+    assert len(nu_t) == len(nu) - 10
+    nu_t, tau_t = trim_profile(nu, tau2, "LFI")
+    assert len(nu_t) == len(nu)
