@@ -169,6 +169,7 @@ class RunConfig:
     enable_tod: bool
     bands: list
     comps: list
+    smoothing_scales: list = dataclasses.field(default_factory=list)
     resample_cmb: bool = False            # RESAMPLE_CMB
     numsamp_per_resamp: int = 1           # NUMSAMP_PER_RESAMP
     first_samp_resamp: int = 1            # FIRST_SAMPLE_FOR_CMB_RESAMP
@@ -237,8 +238,12 @@ def lower_params(p: Params) -> RunConfig:
             pr = p.get_indexed(f"COMP_PRIOR_GAUSS_{name}_RMS", i)
             lo = p.get_indexed(f"COMP_PRIOR_UNI_{name}_LOW", i)
             hi = p.get_indexed(f"COMP_PRIOR_UNI_{name}_HIGH", i)
+            ss = p.get_indexed(f"COMP_{name}_SMOOTHING_SCALE", i, 0)
+            lt = p.get_indexed(f"COMP_{name}_INT_LNLTYPE", i, "chisq")
             indices[name.lower()] = dict(default=default, prior_mean=pm,
-                                         prior_rms=pr, low=lo, high=hi)
+                                         prior_rms=pr, low=lo, high=hi,
+                                         smoothing_scale=int(ss or 0),
+                                         lnl_type=str(lt or "chisq"))
         comps.append(ComponentParamConfig(
             label=str(label), ctype=ctype,
             cclass=str(p.get_indexed("COMP_CLASS", i, "diffuse")),
@@ -282,6 +287,16 @@ def lower_params(p: Params) -> RunConfig:
         first_samp_resamp=int(p.get("FIRST_SAMPLE_FOR_CMB_RESAMP", 1)),
         last_samp_resamp=int(p.get("LAST_SAMPLE_FOR_CMB_RESAMP", 1)),
         bands=bands, comps=comps,
+        smoothing_scales=[
+            dict(fwhm=float(p.get_indexed("SMOOTHING_SCALE_FWHM", k, 0.0)
+                            or 0.0),
+                 fwhm_postproc=float(
+                     p.get_indexed("SMOOTHING_SCALE_FWHM_POSTPROC", k, 0.0)
+                     or 0.0),
+                 lmax=int(p.get_indexed("SMOOTHING_SCALE_LMAX", k, 0) or 0),
+                 nside=int(p.get_indexed("SMOOTHING_SCALE_NSIDE", k, 0)
+                           or 0))
+            for k in range(1, int(p.get("NUM_SMOOTHING_SCALES", 0)) + 1)],
     )
 
 

@@ -318,10 +318,54 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                     lo, hi = d - 0.5 * abs(d) - 0.1, d + 0.5 * abs(d) + 0.1
             sicfg = si.SpecIndConfig(grid_min=float(lo), grid_max=float(hi),
                                      ngrid=96, prior_mean=pm,
-                                     prior_std=pr if pr else None)
+                                     prior_std=pr if pr else None,
+                                     lnl_type=str(info.get("lnl_type")
+                                                  or "chisq"))
             key, k = jax.random.split(key)
             res = compute_residual(sys, plan, state.a, exclude=ci)
             amp_pix = sht.alm2map(plan, state.a[ci])
+            # --- smoothing scales: evaluate the index likelihood on maps
+            # smoothed to a common FWHM and degraded to the scale's nside
+            # (the reference's res_smooth/rms_smooth machinery,
+            # comm_diffuse_comp_mod.f90:153-154 + comm_data_mod smooth_map;
+            # SMOOTHING_SCALE_* keys) ---
+            res_s, amp_s, inv_s, scale_cfg = res, amp_pix, sys.inv_rms2, None
+            ss_id = int(info.get("smoothing_scale", 0) or 0)
+            scales = getattr(cfg, "smoothing_scales", [])
+            if ss_id and ss_id <= len(scales):
+                sc = scales[ss_id - 1]
+                if sc["nside"] and sc["nside"] < plan.nside:
+                    scale_cfg = sc
+                    from .sphere.healpix import udgrade_indices
+                    from .instrument.beam import gaussian_bl
+                    fw = max(sc["fwhm"], 1.0)
+                    res_sm = sht.smooth_map(plan, res, fw)
+                    amp_sm = sht.smooth_map(plan, amp_pix, fw)
+                    idx_s = np.asarray(udgrade_indices(plan.nside,
+                                                       sc["nside"]))
+                    res_s = jnp.mean(res_sm[..., idx_s], -1)
+                    amp_s = jnp.mean(amp_sm[..., idx_s], -1)
+                    # smoothed white-noise variance: local mean sigma^2
+                    # times the beam's variance-suppression factor
+                    blq = gaussian_bl(fw, plan.lmax) ** 2
+                    ellq = 2.0 * np.arange(plan.lmax + 1) + 1.0
+                    supp = float(np.sum(ellq * blq)) \
+                        / (12 * plan.nside ** 2)
+                    var = jnp.where(sys.inv_rms2 > 0,
+                                    1.0 / jnp.maximum(sys.inv_rms2, 1e-30),
+                                    0.0)
+                    var_s = jnp.mean(var[..., idx_s], -1) * supp
+                    inv_s = jnp.where(var_s > 0,
+                                      1.0 / jnp.maximum(var_s, 1e-30), 0.0)
+            # map-valued other-parameters follow the working resolution
+            th_scaled = thetas[ci]
+            if scale_cfg is not None:
+                from .sphere.healpix import udgrade_indices
+                idx_s = np.asarray(udgrade_indices(plan.nside,
+                                                   scale_cfg["nside"]))
+                th_scaled = tuple(np.mean(np.asarray(t)[idx_s], -1)
+                                  if np.ndim(t) > 0 else t
+                                  for t in th_scaled)
             lmax_ind = pcfg.lmax_ind
             if lmax_ind and lmax_ind > 0:
                 L = int(min(lmax_ind, plan.lmax))
@@ -347,14 +391,25 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                 ind_alms[(ci, which)] = t_alm
                 new_t = np.asarray(th_map)
             elif lmax_ind is not None and lmax_ind < 0 and pixind:
-                th = si.sample_specind_pixel(k, comp, bps, sicfg, res,
-                                             amp_pix, sys.inv_rms2,
-                                             tuple(thetas[ci]), which=which)
+                th = si.sample_specind_pixel(k, comp, bps, sicfg, res_s,
+                                             amp_s, inv_s,
+                                             tuple(th_scaled), which=which)
                 new_t = np.asarray(th)
+                if scale_cfg is not None:
+                    # upgrade to native nside + postprocess smoothing
+                    # (SMOOTHING_SCALE_FWHM_POSTPROC)
+                    from .sphere.healpix import udgrade_indices
+                    up = np.asarray(udgrade_indices(scale_cfg["nside"],
+                                                    plan.nside))
+                    new_t = new_t[up]
+                    fpp = scale_cfg.get("fwhm_postproc", 0.0)
+                    if fpp and fpp > 0:
+                        new_t = np.asarray(sht.smooth_map(
+                            plan, jnp.asarray(new_t), fpp))
             else:
-                th = si.sample_specind_fullsky(k, comp, bps, sicfg, res,
-                                               amp_pix, sys.inv_rms2,
-                                               tuple(thetas[ci]), which=which)
+                th = si.sample_specind_fullsky(k, comp, bps, sicfg, res_s,
+                                               amp_s, inv_s,
+                                               tuple(th_scaled), which=which)
                 new_t = float(th)
             thetas[ci] = tuple(new_t if j == which else t
                                for j, t in enumerate(thetas[ci]))
@@ -730,8 +785,11 @@ def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
             * jnp.asarray(triangle_mask(nl_c, nl_c)))
 
     groups, plans = [], []
-    for (ns, lm) in group_keys:
+    band_slot = {}
+    for g, (ns, lm) in enumerate(group_keys):
         idxs = [i for i, b in enumerate(bands) if res_of[b.label] == (ns, lm)]
+        for j, i in enumerate(idxs):
+            band_slot[i] = (g, j)
         plan_g = sht.get_plan(ns, lm, dtype=dtype)
         npix_g = 12 * ns * ns
         nl_g = lm + 1
@@ -774,21 +832,26 @@ def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
     meta = {"lmax": lmax_c, "nmaps": 1, "groups": [list(g) for g in
             [(ns, lm) for ns, lm in group_keys]],
             "comps": [d.name for d in diffuse],
-            "bands": [b.label for b in bands]}
+            "bands": [b.label for b in bands],
+            "band_slot": band_slot}
     return ms, plans, diffuse, cl_cfg, meta, a_true
 
 
 def run_multires(cfg, niter=None, outdir=None, synthetic=False,
                  dtype="float64", verbose=True, chain=1, data_dir=None,
-                 max_nside=None):
+                 max_nside=None, tod=False):
     """Gibbs chain over heterogeneous-resolution bands (amplitude + C_ell;
-    the multires counterpart of run())."""
+    the multires counterpart of run()). With tod=True, bands whose
+    TOD_TYPE is set run the TOD pipeline at their group's native
+    resolution each iteration and feed the mapmaker's (map, rms) back into
+    their group system — process_TOD inside the heterogeneous-resolution
+    Gibbs loop (commander.f90:274-399 + comm_cr_mod.f90:843-954)."""
     import jax
     import jax.numpy as jnp
 
     from .io.chain import ChainFile
     from .model.cl import bin_index_table, cl_eval, sample_cl_binned_invgamma
-    from .sampling import multires
+    from .sampling import amplitude as amp, multires
 
     (ms, plans, diffuse, cl_cfg, meta, a_true) = build_multi_model(
         cfg, synthetic=synthetic, data_dir=data_dir, dtype=dtype,
@@ -804,6 +867,56 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed), chain)
     cl_bins = jnp.full((len(diffuse), 1, nbins), 100.0)
 
+    # --- TOD bands inside the multires loop: synthetic archives at each
+    # band's group resolution (stand-in for read_tod; real archives go
+    # through tod/loader.py as in run()) ---
+    tod_blocks, tod_step, pvecs = {}, {}, {}
+    if tod and cfg.enable_tod:
+        from .sphere import healpix
+        from .tod.differential import process_tod_diff, simulate_tod_diff
+        from .tod.process import TodConfig, init_tod_state, process_tod
+        from .tod.sim import simulate_tod
+
+        for i, band in enumerate(cfg.bands):
+            if band.tod_type in (None, "none"):
+                continue
+            g, j = meta["band_slot"][i]
+            ns_g = meta["groups"][g][0]
+            sky0 = np.asarray(ms.groups[g].data[j])
+            sigma0 = float(np.asarray(
+                1.0 / np.maximum(ms.groups[g].inv_rms[j], 1e-30)).mean()) \
+                * 0.05
+            tcfg = TodConfig(nside=ns_g, nu=band.nominal_freq_ghz * GHZ)
+            if str(band.tod_type).upper() == "WMAP":
+                block, _ = simulate_tod_diff(ns_g, sky0, nscan=4, ndet=2,
+                                             ntod=2048, sigma0=sigma0,
+                                             gain0=1.0, seed=7 + i)
+                kind = "diff"
+            else:
+                block, _ = simulate_tod(ns_g, sky0, nscan=8, ndet=2,
+                                        ntod=4096, sigma0=sigma0,
+                                        gain0=1.0, seed=7 + i)
+                kind = "lfi"
+            tod_blocks[i] = (tcfg, block, init_tod_state(block), kind, g, j)
+            if g not in pvecs:
+                pvecs[g] = jnp.asarray(healpix.pix2vec_ring(ns_g))
+        tod_step = {
+            "lfi": jax.jit(
+                lambda tcfg, block, tstate, sky, pv, k: process_tod(
+                    tcfg, block, tstate, sky, pv, k), static_argnums=0),
+            "diff": jax.jit(
+                lambda tcfg, block, tstate, sky, pv, k: process_tod_diff(
+                    tcfg, block, tstate, sky, pv, k), static_argnums=0),
+        }
+
+    @jax.jit
+    def group_sky(sys_g, plan_g, a):
+        """Beam-convolved band skies of one group from component alms at
+        the common lmax (getBand + Y; evalDiffuseBand,
+        comm_diffuse_comp_mod.f90:2027-2109)."""
+        a_g = a[..., :plan_g.lmax + 1, :plan_g.lmax + 1]
+        return amp._synth(plan_g, amp._project_bands(sys_g, plan_g, a_g))
+
     @jax.jit
     def step(ms_in, plans_in, cl_bins, k):
         k1, k2, k3 = jax.random.split(k, 3)
@@ -818,7 +931,46 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
         return a, clb, res.iters, res.rel_res, k3
 
     a = None
+    if tod_blocks:
+        # amplitude init for the first TOD pass (zero sky, like the
+        # reference's first iteration before any CG solve) + burn-in
+        # passes so gain/sigma0/n_corr converge (see _tod_burnin)
+        C = ms.cl.shape[0]
+        nl = ms.cl.shape[-1]
+        a = jnp.zeros((C, 1, nl, nl), jnp.complex128)
+        for _ in range(3):
+            for i, (tcfg, block, tstate, kind, g, j) in tod_blocks.items():
+                key, k = jax.random.split(key)
+                sky = group_sky(ms.groups[g], plans[g], a)[j]
+                tstate, _ = tod_step[kind](tcfg, block, tstate, sky,
+                                           pvecs[g], k)
+                tod_blocks[i] = (tcfg, block, tstate, kind, g, j)
+
     for it in range(1, niter + 1):
+        # --- TOD step per TOD band at its native resolution; mapmaker
+        # (map, rms) replace the band's row in its group system
+        # (N%update_N + data%map update, commander.f90:364-376) ---
+        if tod_blocks:
+            new_groups = list(ms.groups)
+            for i, (tcfg, block, tstate, kind, g, j) in tod_blocks.items():
+                key, k = jax.random.split(key)
+                sky = group_sky(new_groups[g], plans[g], a)[j]
+                tstate, prod = tod_step[kind](tcfg, block, tstate, sky,
+                                              pvecs[g], k)
+                tod_blocks[i] = (tcfg, block, tstate, kind, g, j)
+                sys_g = new_groups[g]
+                m = jnp.asarray(prod["map"][0])
+                r = jnp.asarray(prod["rms"][0])
+                hit = r > 0
+                data_g = sys_g.data.at[j, 0].set(
+                    jnp.where(hit, m, sys_g.data[j, 0]))
+                ir = jnp.where(hit, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+                new_groups[g] = dataclasses.replace(
+                    sys_g, data=data_g,
+                    inv_rms=sys_g.inv_rms.at[j, 0].set(ir),
+                    inv_rms2=sys_g.inv_rms2.at[j, 0].set(ir * ir))
+            ms = dataclasses.replace(ms, groups=tuple(new_groups))
+
         a, cl_bins, iters, relres, key = step(ms, tuple(plans), cl_bins, key)
         if verbose:
             print(f"iter {it:5d}  cg {int(iters):3d} "
@@ -880,7 +1032,8 @@ def main(argv=None):
         if args.multires:
             run_multires(cfg, niter=args.niter, outdir=args.outdir,
                          synthetic=args.synthetic, dtype=dtype, chain=chain,
-                         data_dir=args.data_dir, max_nside=args.max_nside)
+                         data_dir=args.data_dir, max_nside=args.max_nside,
+                         tod=args.tod)
         else:
             run(cfg, nside=args.nside, lmax=args.lmax,
                 synthetic=args.synthetic, niter=args.niter,

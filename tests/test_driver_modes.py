@@ -101,3 +101,29 @@ def test_wmap_differential_tod_band(tmp_path_factory):
     with ChainFile(chain_path, "r") as ch:
         s = ch.read_sample(2)
         assert np.isfinite(float(s["aux"]["chisq"]))
+
+
+def test_smoothing_scale_pixind(tmp_path_factory):
+    """Per-pixel index sampling on a smoothed + degraded scale
+    (SMOOTHING_SCALE_* machinery; res_smooth/rms_smooth of the reference)
+    — theta maps come back at native nside, postproc-smoothed."""
+    cfg = _cfg()
+    cfg.sample_specind = True
+    cfg.comps = [c for c in cfg.comps if c.label in ("cmb", "synch")]
+    for c in cfg.comps:
+        if c.label == "synch":
+            c.lmax_ind = -1
+            c.indices["beta"]["smoothing_scale"] = 1
+    cfg.smoothing_scales = [dict(fwhm=600.0, fwhm_postproc=600.0, lmax=8,
+                                 nside=4)]
+    out = str(tmp_path_factory.mktemp("chains_ss"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=2,
+                            outdir=out, verbose=False, pixind=True)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(2)
+    tm = s["comps"]["synch"].get("theta_map0")
+    assert tm is not None and tm.shape[-1] == 12 * 8 * 8
+    assert np.all(np.isfinite(tm))
+    # postproc smoothing leaves a smooth field: neighbouring-pixel scatter
+    # well below the full prior range
+    assert np.std(np.diff(tm)) < 0.5 * (tm.max() - tm.min() + 1e-6) + 0.05
