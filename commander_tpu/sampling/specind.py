@@ -10,8 +10,10 @@ TPU-native counterpart of the reference's spectral-index machinery:
 Design: the reference's serial per-pixel InvSamp loops become ONE dense
 evaluation of lnL over (pixel x grid) followed by a batched CDF inversion —
 the whole nonlinear step is a couple of big elementwise tensors, ideal VPU
-work. lnL types follow comm_diffuse_comp_mod.f90:60 {chisq, prior}; the
-'marginal' and 'ridge' variants add analytic terms on the same grids.
+work. lnL types follow comm_diffuse_comp_mod.f90:60
+{chisq, ridge, marginal, prior}; ridge/marginal marginalize the component
+amplitude analytically per pixel (comp_lnL_marginal_diagonal,
+comm_diffuse_comp_mod.f90:4522-4567) and 'prior' draws from the prior alone.
 
 The conditional for one component c with per-pixel parameter theta_p:
   lnL(theta_p) = -1/2 sum_b invN_bp (r_bp - F_b(theta_p) a_p)^2 + ln pi(theta_p)
@@ -41,6 +43,9 @@ class SpecIndConfig:
     ngrid: int = 96
     prior_mean: Optional[float] = None
     prior_std: Optional[float] = None
+    # {chisq, ridge, marginal, prior} — COMP_*_INT_LNLTYPE
+    # (comm_param_mod.f90:809-810; comm_diffuse_comp_mod.f90:60)
+    lnl_type: str = "chisq"
 
     def grid(self, dtype=jnp.float64):
         return jnp.linspace(self.grid_min, self.grid_max, self.ngrid, dtype=dtype)
@@ -69,16 +74,41 @@ def _grid_lnL_pixel(comp: DiffuseComponent, bps: Sequence[Bandpass], cfg,
         t = jnp.asarray(t)
         return t[:, None] if t.ndim > 0 else t
 
+    lnl_type = getattr(cfg, "lnl_type", "chisq") or "chisq"
+    if lnl_type == "prior":
+        # draw from the (range-truncated) prior alone
+        # (comm_diffuse_comp_mod.f90:551 'prior' lnLtype)
+        return jnp.broadcast_to(_lnprior(cfg, grid)[None, :], (P, G))
+
     Fg = []
     for bp in bps:
         th = tuple(grid[None, :] if i == which else _other(t)
                    for i, t in enumerate(theta_other))
         Fg.append(jnp.broadcast_to(mixing_element(comp, bp, th), (P, G)))
     Fg = jnp.stack(Fg)                                   # (B, P, G)
-    # model_bspg = F_bpg * a_sp ; chi2 over b,s
-    r = res[..., None]                                   # (B,S,P,1)
-    model = Fg[:, None, :, :] * amp_pix[None, :, :, None]
-    lnl = -0.5 * jnp.sum(inv_rms2[..., None] * jnp.square(r - model), axis=(0, 1))
+    if lnl_type in ("ridge", "marginal"):
+        # amplitude-marginalized pixel likelihood over the flattened
+        # (band, Stokes) axis with diagonal noise
+        # (comp_lnL_marginal_diagonal, comm_diffuse_comp_mod.f90:4522-4567):
+        #   MNd = M^T N^-1 d,  MNM = M^T N^-1 M,
+        #   lnL = 1/2 MNd^2 / MNM  [+ 1/2 log MNM if marginal — the
+        #   reference's use_det term, -1/2 log(MNM^-1) after its 1x1 invert]
+        # d is the residual INCLUDING this component (amplitude is
+        # marginalized, comm_diffuse_comp_mod.f90:3270-3281).
+        MNd = jnp.einsum("bpg,bsp,bsp->pg", Fg, inv_rms2, res)
+        MNM = jnp.einsum("bpg,bsp,bpg->pg", Fg, inv_rms2, Fg)
+        lnl = jnp.where(MNM > 0, 0.5 * MNd * MNd / jnp.maximum(MNM, 1e-300),
+                        0.0)
+        if lnl_type == "marginal":
+            lnl = lnl + jnp.where(MNM > 0,
+                                  0.5 * jnp.log(jnp.maximum(MNM, 1e-300)),
+                                  0.0)
+    else:
+        # model_bspg = F_bpg * a_sp ; chi2 over b,s
+        r = res[..., None]                               # (B,S,P,1)
+        model = Fg[:, None, :, :] * amp_pix[None, :, :, None]
+        lnl = -0.5 * jnp.sum(inv_rms2[..., None] * jnp.square(r - model),
+                             axis=(0, 1))
     return lnl + _lnprior(cfg, grid)[None, :]            # (P, G)
 
 

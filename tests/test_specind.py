@@ -127,3 +127,52 @@ def test_alm_specind_sampler_improves_fit():
     err0 = np.abs(np.asarray(theta_map) - beta_true)
     assert n_acc > 0
     assert err0.mean() < 0.1, err0.mean()
+
+
+def test_ridge_marginal_lnl_recover_truth():
+    """Amplitude-marginalized lnL types (ridge/marginal) peak at the true
+    index: comp_lnL_marginal_diagonal, comm_diffuse_comp_mod.f90:4522-4567.
+    The data passed is the residual INCLUDING the component (the amplitude
+    is marginalized analytically), unlike the chisq path."""
+    beta_true = -3.1
+    comp, bps, data, amp, inv_rms2 = _setup_pixel_problem(beta_true)
+    for lt in ("ridge", "marginal"):
+        cfg = specind.SpecIndConfig(grid_min=-4.5, grid_max=-1.5, ngrid=256,
+                                    lnl_type=lt)
+        beta = specind.sample_specind_pixel(
+            jax.random.PRNGKey(2), comp, bps, cfg, data, amp, inv_rms2,
+            (beta_true,), which=0)
+        b = np.asarray(beta)
+        assert abs(b.mean() - beta_true) < 0.02, lt
+        assert np.all(np.isfinite(b)), lt
+
+
+def test_ridge_vs_marginal_determinant_term():
+    # the grids differ exactly by the 0.5*log(M^T N^-1 M) determinant term
+    beta_true = -3.0
+    comp, bps, data, amp, inv_rms2 = _setup_pixel_problem(beta_true)
+    grid = jnp.linspace(-4.0, -2.0, 32)
+    cfg_r = specind.SpecIndConfig(-4.0, -2.0, 32, lnl_type="ridge")
+    cfg_m = specind.SpecIndConfig(-4.0, -2.0, 32, lnl_type="marginal")
+    lr = specind._grid_lnL_pixel(comp, bps, cfg_r, data, amp, inv_rms2,
+                                 (beta_true,), 0)
+    lm = specind._grid_lnL_pixel(comp, bps, cfg_m, data, amp, inv_rms2,
+                                 (beta_true,), 0)
+    F = jnp.stack([mixing_element(comp, bp, (grid,)) for bp in bps])
+    MNM = jnp.einsum("bg,bsp->pg", F**2, inv_rms2)
+    np.testing.assert_allclose(np.asarray(lm - lr),
+                               0.5 * np.log(np.asarray(MNM)), rtol=1e-6)
+
+
+def test_prior_lnltype_samples_prior():
+    # lnl_type='prior' ignores the data entirely
+    comp, bps, data, amp, inv_rms2 = _setup_pixel_problem(-3.0)
+    cfg = specind.SpecIndConfig(grid_min=-6.0, grid_max=0.0, ngrid=512,
+                                prior_mean=-2.5, prior_std=0.3,
+                                lnl_type="prior")
+    beta = specind.sample_specind_pixel(jax.random.PRNGKey(3), comp, bps,
+                                        cfg, data, amp, inv_rms2, (-3.0,),
+                                        which=0)
+    b = np.asarray(beta)
+    assert abs(b.mean() + 2.5) < 0.05
+    assert abs(b.std() - 0.3) < 0.05
