@@ -108,12 +108,15 @@ def _chirp_powers(n: np.ndarray, k2: np.ndarray) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False,
              dtype: str = "float64", weights: str = "ring",
-             tables: bool = True) -> SHTPlan:
+             tables: bool = True,
+             legendre_backend: str = "xla") -> SHTPlan:
     """Build (host) and cache the SHT plan for one resolution.
 
     tables=False skips the precomputed Legendre tables (lam0/lam_p2/lam_m2
     are None) — used by the on-the-fly transforms (sht_otf) that only need
-    the ring/Bluestein machinery of the plan."""
+    the ring/Bluestein machinery of the plan. legendre_backend selects the
+    tableless Legendre stage: 'xla' (chunked scan) or 'pallas' (fused
+    kernel; interpret-mode automatically on CPU)."""
     if mmax is None:
         mmax = lmax
     rdtype = jnp.dtype(dtype)
@@ -175,7 +178,8 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     if not tables:
         from .sht_otf import legendre_otf
         otf0 = legendre_otf(nside, lmax, 0, dtype=dtype,
-                            chunk=min(64, lmax + 1), mmax=mmax)
+                            chunk=min(64, lmax + 1), mmax=mmax,
+                            backend=legendre_backend)
 
     dev = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(rdtype)))
     devc = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(cdtype)))

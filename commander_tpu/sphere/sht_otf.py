@@ -38,7 +38,7 @@ _SCALE_POW = 30  # rescale granularity 2^30 (f32-safe)
     jax.tree_util.register_dataclass,
     data_fields=["seed_mant", "seed_exp", "A", "Bc", "beta", "x", "norm",
                  "parity_m", "m_vals"],
-    meta_fields=["lmax", "mmax", "mp", "chunk"],
+    meta_fields=["lmax", "mmax", "mp", "chunk", "backend"],
 )
 @dataclasses.dataclass(frozen=True)
 class LegendreOTF:
@@ -57,11 +57,15 @@ class LegendreOTF:
     mmax: int
     mp: int
     chunk: int
+    # Legendre-stage implementation: "xla" (chunked lax.scan) or "pallas"
+    # (fused VMEM-resident kernel, pallas_sht.py; full-m plans only)
+    backend: str = "xla"
 
 
 @functools.lru_cache(maxsize=None)
 def legendre_otf(nside: int, lmax: int, mp: int, dtype: str = "float32",
-                 chunk: int = 64, mmax: int | None = None) -> LegendreOTF:
+                 chunk: int = 64, mmax: int | None = None,
+                 backend: str = "xla") -> LegendreOTF:
     from scipy.special import gammaln
 
     if mmax is None:
@@ -122,7 +126,7 @@ def legendre_otf(nside: int, lmax: int, mp: int, dtype: str = "float32",
         norm=cast(np.sqrt((2 * ell[:, 0] + 1) / (4 * np.pi))),
         parity_m=cast((-1.0) ** np.arange(nm)),
         m_vals=jnp.asarray(np.arange(nm, dtype=np.int32)),
-        lmax=lmax, mmax=mmax, mp=mp, chunk=chunk)
+        lmax=lmax, mmax=mmax, mp=mp, chunk=chunk, backend=backend)
 
 
 def _rec_step(otf: LegendreOTF, carry, l):
@@ -199,7 +203,16 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
     One lax.scan over l-chunks: the chunk body regenerates a (L, nh, nm)
     Lambda block by recurrence and contracts it with the alm chunk (two
     einsums for the two (l+m)-parity subspaces). Compiles once regardless
-    of lmax."""
+    of lmax. backend='pallas' plans route through the fused kernel."""
+    if otf.backend == "pallas":
+        from .pallas_sht import synth_legendre_pallas
+        interp = jax.default_backend() == "cpu"
+        f = lambda a: synth_legendre_pallas(otf, a, nh, interpret=interp)
+        if alm.ndim == 2:
+            return f(alm)
+        b = alm.shape[:-2]
+        Fn, Fs = jax.vmap(f)(alm.reshape((-1,) + alm.shape[-2:]))
+        return (Fn.reshape(b + Fn.shape[-2:]), Fs.reshape(b + Fs.shape[-2:]))
     L, nl, pad_l, nchunks = _chunk_axes(otf, alm.ndim - 2)
     batch = alm.shape[:-2]
     nm = otf.mmax + 1
@@ -231,6 +244,16 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
 
 def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
     """(F_north, F_south rows at theta_r) -> alm (..., nl, nm)."""
+    if otf.backend == "pallas":
+        from .pallas_sht import adjoint_legendre_pallas
+        interp = jax.default_backend() == "cpu"
+        f = lambda n, s: adjoint_legendre_pallas(otf, n, s, interpret=interp)
+        if F_n.ndim == 2:
+            return f(F_n, F_s)
+        b = F_n.shape[:-2]
+        a = jax.vmap(f)(F_n.reshape((-1,) + F_n.shape[-2:]),
+                        F_s.reshape((-1,) + F_s.shape[-2:]))
+        return a.reshape(b + a.shape[-2:])
     L, nl, pad_l, nchunks = _chunk_axes(otf, F_n.ndim - 2)
     batch = F_n.shape[:-2]
     nm = otf.mmax + 1

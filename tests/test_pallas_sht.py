@@ -90,3 +90,28 @@ def test_pallas_full_transforms_match_otf():
     a_p = np.asarray(map2alm_pallas(plan, otf, jnp.asarray(m_ref),
                                     block_h=32, block_m=64, interpret=True))
     assert np.abs(a_p - a_ref).max() < 1e-4 * np.abs(a_ref).max()
+
+
+def test_pallas_backend_dispatch_through_plan():
+    """tables=False + legendre_backend='pallas' plans route sht.alm2map /
+    sht.map2alm through the fused kernels (interpret on CPU), matching the
+    table-based transforms, incl. batched inputs."""
+    from commander_tpu.sphere import sht
+    nside, lmax = 8, 16
+    plan_t = sht.get_plan(nside, lmax, dtype="float32")
+    plan_p = sht.get_plan(nside, lmax, dtype="float32", tables=False,
+                          legendre_backend="pallas")
+    assert plan_p.otf0.backend == "pallas"
+    rng = np.random.default_rng(4)
+    nl = lmax + 1
+    alm = (rng.standard_normal((2, nl, nl))
+           + 1j * rng.standard_normal((2, nl, nl))).astype(np.complex64)
+    alm[..., 0] = alm[..., 0].real
+    for l in range(nl):
+        alm[:, l, l + 1:] = 0
+    m_ref = np.asarray(sht.alm2map(plan_t, jnp.asarray(alm)))
+    m_p = np.asarray(sht.alm2map(plan_p, jnp.asarray(alm)))
+    assert np.abs(m_p - m_ref).max() < 1e-4 * np.abs(m_ref).max()
+    a_ref = np.asarray(sht.map2alm(plan_t, jnp.asarray(m_ref)))
+    a_p = np.asarray(sht.map2alm(plan_p, jnp.asarray(m_ref)))
+    assert np.abs(a_p - a_ref).max() < 1e-4 * np.abs(a_ref).max()
