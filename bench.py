@@ -28,11 +28,18 @@ BASELINE_SHT_PER_S = 10.0
 
 def _measure(jax, device, dtype, nside, lmax, batch):
     """One SHT-roundtrip measurement on `device`. Returns
-    (shts_per_sec, sync_mode) or raises on an unusable session."""
+    (shts_per_sec, sync_mode) or raises on an unusable session.
+
+    All host->device traffic goes through utils/transfer.py's float-only
+    encoding (complex plan tables -> re/im pairs, int index arrays ->
+    float64) because this container's axon runtime only implements
+    f32/f64 transfers; dtypes are reconstructed inside jit. The chain
+    returns a float32 scalar so the sync readback is also f32."""
     import numpy as np
     import jax.numpy as jnp
     from functools import partial
     from commander_tpu.sphere import sht
+    from commander_tpu.utils import transfer
 
     with jax.default_device(jax.devices("cpu")[0]):
         plan = sht.get_plan(nside, lmax, dtype=dtype)
@@ -42,43 +49,47 @@ def _measure(jax, device, dtype, nside, lmax, batch):
             + 1j * rng.standard_normal((batch, nl, nl))
         a = jnp.asarray(a0.astype(np.complex64 if dtype == "float32"
                                   else np.complex128))
-    plan, a = jax.device_put((plan, a), device)
+    spec_p, enc_p = transfer.encode(plan)
+    spec_a, enc_a = transfer.encode(a)
+    enc_p, enc_a = jax.device_put((enc_p, enc_a), device)
 
     @partial(jax.jit, static_argnums=2)
-    def chain(p, a, n):
+    def chain(ep, ea, n):
+        p = transfer.decode(spec_p, ep)
+        a = transfer.decode(spec_a, ea)
+
         def body(i, a):
             return sht.map2alm(p, sht.alm2map(p, a)).astype(a.dtype)
-        return jax.lax.fori_loop(0, n, body, a)
+        out = jax.lax.fori_loop(0, n, body, a)
+        return jnp.sum(jnp.abs(out.real)).astype(jnp.float32)
 
     def timed_block(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(plan, a, n))
+        jax.block_until_ready(chain(enc_p, enc_a, n))
         return time.perf_counter() - t0
 
     def timed_readback(n):
         t0 = time.perf_counter()
-        out = chain(plan, a, n)
-        val = float(np.asarray(jnp.sum(jnp.abs(out.real))))
+        val = float(np.asarray(chain(enc_p, enc_a, n)))
         assert val > 0
         return time.perf_counter() - t0
 
-    n_lo, n_hi = 2, 12
-    timed_block(n_lo)      # compile
-    timed_block(n_hi)
-    # Path 1 (no transfers, cannot poison the session): block-based timing
-    # validated by n-scaling — if block_until_ready actually waits, the
-    # n_hi/n_lo wall-time ratio approaches n_hi/n_lo.
-    t_lo = min(timed_block(n_lo) for _ in range(3))
-    t_hi = min(timed_block(n_hi) for _ in range(3))
-    ratio_ok = t_lo > 1e-5 and 2.0 < (t_hi / t_lo) < 12.0
-    sync = "block"
-    if not ratio_ok:
-        # block_until_ready is a no-op here: force completion via a scalar
-        # device->host readback (works only in transfer-capable sessions;
-        # a failed/hung transfer aborts this process and the driver retries).
-        t_lo = timed_readback(n_lo)
-        t_hi = timed_readback(n_hi)
-        sync = "readback"
+    n_lo, n_hi = 2, (20 if nside >= 256 else 100)
+    timed_readback(n_lo)      # compile both graph sizes
+    timed_readback(n_hi)
+    # Scalar-readback timing (forces completion even where
+    # block_until_ready is a no-op, as on this axon tunnel); min-of-3
+    # n-scaling difference cancels the RPC/dispatch latency constant.
+    t_lo = min(timed_readback(n_lo) for _ in range(3))
+    t_hi = min(timed_readback(n_hi) for _ in range(3))
+    sync = "readback"
+    if not (t_hi > t_lo > 1e-5):
+        # fall back to block-based timing validated by n-scaling
+        t_lo = min(timed_block(n_lo) for _ in range(3))
+        t_hi = min(timed_block(n_hi) for _ in range(3))
+        if not (t_lo > 1e-5 and 2.0 < (t_hi / t_lo)):
+            raise RuntimeError(f"no usable sync: {t_lo} {t_hi}")
+        sync = "block"
     per_round = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
     if per_round < 1e-7:
         raise RuntimeError(f"implausible timing: {per_round}")
@@ -95,17 +106,17 @@ def inner():
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
-    # nside 64 keeps host plan build ~1s and device compile ~12s in good
-    # sessions — maximizing the chance of a real measurement on this
-    # environment's intermittently slow remote compiler; raise when stable.
-    nside, lmax, batch = (64, 128, 8) if on_tpu else (64, 128, 4)
+    nside = int(os.environ.get("COMMANDER_TPU_BENCH_NSIDE",
+                               "256" if on_tpu else "64"))
+    lmax, batch = 2 * nside, 8 if on_tpu else 4
     dtype = "float32" if on_tpu else "float64"
     where = dev.platform
     if os.environ.get("COMMANDER_TPU_BENCH_CPU"):
-        # fallback pass (see main): this axon session cannot sync/readback,
-        # measure on the host CPU backend and label it honestly.
+        # final fallback pass (see main): this axon session cannot
+        # transfer/sync; measure the host CPU backend, labeled honestly.
         dev, where, dtype, batch = jax.devices("cpu")[0], "cpu-fallback", \
             "float64", 4
+        nside, lmax = 64, 128
     shts, sync = _measure(jax, dev, dtype, nside, lmax, batch)
     print(json.dumps({
         "metric": f"SHT transforms/sec/chip (alm2map+map2alm roundtrip, "
@@ -123,16 +134,17 @@ def main():
         return
     env = dict(os.environ, COMMANDER_TPU_BENCH_INNER="1")
     last_err = ""
-    # attempts 0-1: real device; attempt 2: CPU-backend fallback so an
-    # unmeasurable axon session still yields an honest labeled number.
-    for attempt in range(3):
-        e = dict(env)
-        if attempt == 2:
-            e["COMMANDER_TPU_BENCH_CPU"] = "1"
+    # attempt 0: device @ headline size (nside 256); 1: device @ nside 64
+    # (fast compile); 2: CPU-backend fallback so an unmeasurable axon
+    # session still yields an honest labeled number.
+    plans = [({}, 560), ({"COMMANDER_TPU_BENCH_NSIDE": "64"}, 240),
+             ({"COMMANDER_TPU_BENCH_CPU": "1"}, 180)]
+    for extra, tmo in plans:
+        e = dict(env, **extra)
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=e,
-                capture_output=True, text=True, timeout=180,
+                capture_output=True, text=True, timeout=tmo,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 line = line.strip()

@@ -240,10 +240,15 @@ def lower_params(p: Params) -> RunConfig:
             hi = p.get_indexed(f"COMP_PRIOR_UNI_{name}_HIGH", i)
             ss = p.get_indexed(f"COMP_{name}_SMOOTHING_SCALE", i, 0)
             lt = p.get_indexed(f"COMP_{name}_INT_LNLTYPE", i, "chisq")
+            ltp = p.get_indexed(f"COMP_{name}_POL_LNLTYPE", i, None)
+            pt = p.get_indexed(f"COMP_{name}_POLTYPE", i, 1)
             indices[name.lower()] = dict(default=default, prior_mean=pm,
                                          prior_rms=pr, low=lo, high=hi,
                                          smoothing_scale=int(ss or 0),
-                                         lnl_type=str(lt or "chisq"))
+                                         lnl_type=str(lt or "chisq"),
+                                         lnl_type_pol=str(ltp) if ltp
+                                         else str(lt or "chisq"),
+                                         poltype=int(pt or 1))
         comps.append(ComponentParamConfig(
             label=str(label), ctype=ctype,
             cclass=str(p.get_indexed("COMP_CLASS", i, "diffuse")),

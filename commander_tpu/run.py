@@ -247,22 +247,56 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
     return blocks
 
 
-def _rebuild_mixing(diffuse, bps, thetas, deltas, sys):
+def _stokes_group(s: int, poltype: int) -> int:
+    """Stokes index -> theta-group index for a parameter's POLTYPE
+    (comm_param_mod COMP_*_POLTYPE: 1={T+Q+U}, 2={T},{Q+U}, 3={T},{Q},{U})."""
+    if poltype <= 1 or s == 0:
+        return 0
+    return 1 if (poltype == 2 or s == 1) else 2
+
+
+def _theta_for_stokes(ci, s, thetas, thetas_pol, poltypes):
+    """Effective theta tuple of component ci at Stokes s: group-0 values
+    live in thetas; higher groups in thetas_pol[(ci, j)] (the reference's
+    per-poltype theta arrays, comm_diffuse_comp_mod.f90:67)."""
+    if not thetas_pol or poltypes is None:
+        return tuple(thetas[ci])
+    out = []
+    for j, t in enumerate(thetas[ci]):
+        g = _stokes_group(s, poltypes[ci][j])
+        out.append(t if g == 0 else thetas_pol[(ci, j)][g - 1])
+    return tuple(out)
+
+
+def _rebuild_mixing(diffuse, bps, thetas, deltas, sys, thetas_pol=None,
+                    poltypes=None):
     """Rebuild F (and F_pix for map-valued thetas) after a nonlinear step —
     the reference's updateMixmat per band (comm_diffuse_comp_mod.f90:1662);
     map-valued thetas produce the pixel-mixing path of the CG operator
-    (evalDiffuseBand, :2027-2109) with F holding the pixel mean (F_mean)."""
+    (evalDiffuseBand, :2027-2109) with F holding the pixel mean (F_mean).
+    thetas_pol/poltypes add per-Stokes-group thetas (POLTYPE >= 2)."""
     import dataclasses as dc
     import jax.numpy as jnp
 
     from .model.mixing import mixing_element, mixing_matrix
 
     S = sys.bl.shape[1]
-    any_map = any(np.ndim(t) > 0 for th in thetas for t in th)
-    if not any_map:
+    split = bool(thetas_pol)
+    all_th = list(thetas) + (list(thetas_pol.values()) if split else [])
+    any_map = any(np.ndim(t) > 0 for th in all_th for t in
+                  (th if isinstance(th, (tuple, list)) else (th,)))
+    if not any_map and not split:
         F = mixing_matrix(diffuse, bps, thetas=thetas, deltas=deltas)
         if F.ndim == 2:
             F = F[..., None].repeat(S, axis=-1)
+        return dc.replace(sys, F=jnp.asarray(F, sys.data.dtype), F_pix=None)
+    if not any_map:
+        # per-Stokes scalar thetas: S distinct mixing matrices
+        F = np.stack([np.asarray(mixing_matrix(
+            diffuse, bps,
+            thetas=[_theta_for_stokes(ci, s, thetas, thetas_pol, poltypes)
+                    for ci in range(len(diffuse))],
+            deltas=deltas)) for s in range(S)], axis=-1)
         return dc.replace(sys, F=jnp.asarray(F, sys.data.dtype), F_pix=None)
     P = sys.data.shape[-1]
     B, C = len(bps), len(diffuse)
@@ -270,17 +304,25 @@ def _rebuild_mixing(diffuse, bps, thetas, deltas, sys):
     for b, bp in enumerate(bps):
         d = 0.0 if deltas is None else deltas[b]
         for c, comp in enumerate(diffuse):
-            v = np.asarray(mixing_element(comp, bp, thetas[c], d,
-                                          band_index=b))
-            F_pix[b, c] = v[None, :] if v.ndim else v
+            if split:
+                for s in range(S):
+                    v = np.asarray(mixing_element(
+                        comp, bp,
+                        _theta_for_stokes(c, s, thetas, thetas_pol,
+                                          poltypes), d, band_index=b))
+                    F_pix[b, c, s] = v
+            else:
+                v = np.asarray(mixing_element(comp, bp, thetas[c], d,
+                                              band_index=b))
+                F_pix[b, c] = v[None, :] if v.ndim else v
     F_mean = F_pix.mean(axis=-1)
-    import jax.numpy as jnp
     return dc.replace(sys, F=jnp.asarray(F_mean, sys.data.dtype),
                       F_pix=jnp.asarray(F_pix, sys.data.dtype))
 
 
 def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
-                  deltas=None, ind_alms=None, pixind=False, ind_steps=None):
+                  deltas=None, ind_alms=None, pixind=False, ind_steps=None,
+                  thetas_pol=None):
     """Nonlinear (spectral-index) Gibbs step + mixing-matrix rebuild.
 
     Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
@@ -291,6 +333,11 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
       lmax_ind < 0  -> local sampler: per-pixel inversion draw when
                        pixind=True, else fullsky scalar
     Map-valued thetas switch the CG operator to the pixel-mixing path.
+    With COMP_*_POLTYPE >= 2 on polarized runs the local samplers draw
+    the parameter separately per Stokes group ({T},{Q+U} or {T},{Q},{U})
+    with the POL lnL type; group-g values live in thetas_pol[(ci, j)]
+    (the reference's per-poltype theta machinery,
+    comm_diffuse_comp_mod.f90:67,378-390).
     """
     import jax
     import jax.numpy as jnp
@@ -300,6 +347,8 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
     from .sphere import sht
 
     ind_alms = ind_alms if ind_alms is not None else {}
+    poltypes = [[int(pc.indices[n].get("poltype", 1) or 1)
+                 for n in pc.indices] for pc in pcfgs]
     changed = False
     for ci, (pcfg, comp) in enumerate(zip(pcfgs, diffuse)):
         names = list(pcfg.indices.keys())
@@ -390,32 +439,70 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                         step0 * np.exp(rate - 0.5), 1e-4, 1.0))
                 ind_alms[(ci, which)] = t_alm
                 new_t = np.asarray(th_map)
-            elif lmax_ind is not None and lmax_ind < 0 and pixind:
-                th = si.sample_specind_pixel(k, comp, bps, sicfg, res_s,
-                                             amp_s, inv_s,
-                                             tuple(th_scaled), which=which)
-                new_t = np.asarray(th)
-                if scale_cfg is not None:
-                    # upgrade to native nside + postprocess smoothing
-                    # (SMOOTHING_SCALE_FWHM_POSTPROC)
-                    from .sphere.healpix import udgrade_indices
-                    up = np.asarray(udgrade_indices(scale_cfg["nside"],
-                                                    plan.nside))
-                    new_t = new_t[up]
-                    fpp = scale_cfg.get("fwhm_postproc", 0.0)
-                    if fpp and fpp > 0:
-                        new_t = np.asarray(sht.smooth_map(
-                            plan, jnp.asarray(new_t), fpp))
+                thetas[ci] = tuple(new_t if j == which else t
+                                   for j, t in enumerate(thetas[ci]))
             else:
-                th = si.sample_specind_fullsky(k, comp, bps, sicfg, res_s,
-                                               amp_s, inv_s,
-                                               tuple(th_scaled), which=which)
-                new_t = float(th)
-            thetas[ci] = tuple(new_t if j == which else t
-                               for j, t in enumerate(thetas[ci]))
+                S_maps = int(res.shape[1])
+                pt = int(info.get("poltype", 1) or 1)
+                split_pol = (thetas_pol is not None and S_maps == 3
+                             and pt >= 2)
+                groups = [(0, 1)] + ([(1, 3)] if pt == 2
+                                     else [(1, 2), (2, 3)]) \
+                    if split_pol else [(0, S_maps)]
+
+                def th_group(s_repr):
+                    # other-parameter values seen by Stokes s_repr
+                    out = []
+                    for j, t in enumerate(th_scaled):
+                        gj = _stokes_group(s_repr, poltypes[ci][j])
+                        if gj > 0 and thetas_pol and \
+                                (ci, j) in thetas_pol:
+                            out.append(thetas_pol[(ci, j)][gj - 1])
+                        else:
+                            out.append(t)
+                    return tuple(out)
+
+                def _draw(kk, scfg, sl, th_x):
+                    r_g, a_g, i_g = res_s[:, sl], amp_s[sl], inv_s[:, sl]
+                    if lmax_ind is not None and lmax_ind < 0 and pixind:
+                        th = si.sample_specind_pixel(
+                            kk, comp, bps, scfg, r_g, a_g, i_g, th_x,
+                            which=which)
+                        new = np.asarray(th)
+                        if scale_cfg is not None:
+                            # upgrade to native nside + postproc smoothing
+                            # (SMOOTHING_SCALE_FWHM_POSTPROC)
+                            from .sphere.healpix import udgrade_indices
+                            up = np.asarray(udgrade_indices(
+                                scale_cfg["nside"], plan.nside))
+                            new = new[up]
+                            fpp = scale_cfg.get("fwhm_postproc", 0.0)
+                            if fpp and fpp > 0:
+                                new = np.asarray(sht.smooth_map(
+                                    plan, jnp.asarray(new), fpp))
+                        return new
+                    th = si.sample_specind_fullsky(
+                        kk, comp, bps, scfg, r_g, a_g, i_g, th_x,
+                        which=which)
+                    return float(th)
+
+                new_t = _draw(k, sicfg, slice(*groups[0]), th_group(0))
+                thetas[ci] = tuple(new_t if j == which else t
+                                   for j, t in enumerate(thetas[ci]))
+                if split_pol:
+                    vals = []
+                    for (g0, g1) in groups[1:]:
+                        key, kg = jax.random.split(key)
+                        scfg_p = dataclasses.replace(
+                            sicfg, lnl_type=str(info.get("lnl_type_pol")
+                                                or "chisq"))
+                        vals.append(_draw(kg, scfg_p, slice(g0, g1),
+                                          th_group(g0)))
+                    thetas_pol[(ci, which)] = vals
             changed = True
     if changed:
-        sys = _rebuild_mixing(diffuse, bps, thetas, deltas, sys)
+        sys = _rebuild_mixing(diffuse, bps, thetas, deltas, sys,
+                              thetas_pol=thetas_pol, poltypes=poltypes)
     return key, sys, thetas
 
 
@@ -556,6 +643,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     tkey = jax.random.fold_in(key, 991)
     skey = jax.random.fold_in(key, 552)
     thetas = [tuple(d.theta0) for d in diffuse]
+    thetas_pol = {}          # (ci, j) -> per-Stokes-group values (POLTYPE>=2)
     ind_alms = {}
     ind_steps = {}
     gains = np.ones(len(cfg.bands))
@@ -665,7 +753,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                                               deltas=bp_deltas.tolist(),
                                               ind_alms=ind_alms,
                                               pixind=pixind,
-                                              ind_steps=ind_steps)
+                                              ind_steps=ind_steps,
+                                              thetas_pol=thetas_pol
+                                              if pol else None)
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---
@@ -719,6 +809,11 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 for j, t in enumerate(thetas[i]):
                     if np.ndim(t) > 0:   # map-valued spectral index
                         entry[f"theta_map{j}"] = np.asarray(t)
+                    if (i, j) in thetas_pol:
+                        # per-Stokes-group values (COMP_*_POLTYPE >= 2)
+                        entry[f"specind_pol{j}"] = np.asarray(
+                            [np.mean(v) for v in thetas_pol[(i, j)]],
+                            np.float64)
                 comps_out[d.name] = entry
             extra = {"chisq": chi2, "cg_iters": int(state.cg_iters),
                      "bp_delta": bp_deltas.copy()}

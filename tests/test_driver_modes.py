@@ -127,3 +127,32 @@ def test_smoothing_scale_pixind(tmp_path_factory):
     # postproc smoothing leaves a smooth field: neighbouring-pixel scatter
     # well below the full prior range
     assert np.std(np.diff(tm)) < 0.5 * (tm.max() - tm.min() + 1e-6) + 0.05
+
+
+def test_poltype_split_specind(tmp_path_factory):
+    """COMP_*_POLTYPE >= 2 draws the spectral index separately per Stokes
+    group ({T},{Q+U}) with the POL lnL type and applies per-Stokes mixing
+    (the reference's per-poltype theta arrays,
+    comm_diffuse_comp_mod.f90:67,378-390)."""
+    cfg = _cfg()
+    cfg.comps = [c for c in cfg.comps if c.label in ("cmb", "synch")]
+    cfg.sample_specind = True
+    for b in cfg.bands:
+        b.polarized = True
+    for c in cfg.comps:
+        if c.label == "synch":
+            c.lmax_ind = -1          # local (fullsky) sampler
+            c.indices["beta"]["poltype"] = 2
+            c.indices["beta"]["lnl_type_pol"] = "chisq"
+    out = str(tmp_path_factory.mktemp("chains_poltype"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=2,
+                            outdir=out, verbose=False, pol=True)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(2)
+        synch = s["comps"]["synch"]
+        assert "specind_pol0" in synch           # one Q+U group value
+        pol_vals = np.asarray(synch["specind_pol0"])
+        assert pol_vals.shape == (1,)
+        assert np.all(np.isfinite(pol_vals))
+        assert np.all(np.isfinite(np.asarray(synch["specind"])))
+        assert np.isfinite(float(s["aux"]["chisq"]))
