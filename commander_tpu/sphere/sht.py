@@ -46,8 +46,12 @@ from .wigner import spin_lambda_north
     jax.tree_util.register_dataclass,
     data_fields=["lam0", "lam_p2", "lam_m2", "parity", "lmmask", "synth_A",
                  "synth_Vh", "synth_B", "ana_A", "ana_Vh", "ana_B", "pix_idx",
-                 "pad_src", "pad_valid", "ring_weight", "qw", "otf0"],
-    meta_fields=["nside", "lmax", "mmax", "rdtype", "cdtype", "Ls", "La"],
+                 "pad_src", "pad_valid", "ring_weight", "qw", "otf0",
+                 "belt_phase", "cap_sA", "cap_sVh", "cap_sB", "cap_aA",
+                 "cap_aVh", "cap_aB", "capn_src", "capn_valid", "caps_src",
+                 "caps_valid", "capn_pix_idx", "caps_pix_idx"],
+    meta_fields=["nside", "lmax", "mmax", "rdtype", "cdtype", "Ls", "La",
+                 "cap_Ls", "cap_La", "split"],
 )
 @dataclasses.dataclass(frozen=True)
 class SHTPlan:
@@ -81,6 +85,29 @@ class SHTPlan:
     # On-the-fly Legendre recurrence (sht_otf.LegendreOTF) used instead of
     # the lam0 table when tables=False — enables lmax beyond table memory.
     otf0: object = None
+    # --- belt/cap split ring stage (the fast local path) ---
+    # The 2*nside+1 equatorial-belt rings all have nphi = 4*nside, so their
+    # Fourier stage is ONE power-of-2 (i)FFT of length 4*nside plus a phase
+    # twist; only the 2*(nside-1) polar-cap rings need Bluestein, with a
+    # shorter (power-of-2) convolution length. The whole-sphere Bluestein
+    # tables above are kept for the ring-sharded multi-chip path
+    # (parallel/sht_shard.py), which slices rings by contiguous blocks.
+    split: bool = False
+    cap_Ls: int = 0
+    cap_La: int = 0
+    belt_phase: jax.Array | None = None   # (nbelt, nm) e^{i m phi0_r}
+    cap_sA: jax.Array | None = None       # (2nc, nm)
+    cap_sVh: jax.Array | None = None      # (2nc, cap_Ls)
+    cap_sB: jax.Array | None = None       # (2nc, cap_pmax)
+    cap_aA: jax.Array | None = None       # (2nc, cap_pmax)
+    cap_aVh: jax.Array | None = None      # (2nc, cap_La)
+    cap_aB: jax.Array | None = None       # (2nc, nm)
+    capn_src: jax.Array | None = None     # (nc*pmax,) int32 into map
+    capn_valid: jax.Array | None = None
+    caps_src: jax.Array | None = None
+    caps_valid: jax.Array | None = None
+    capn_pix_idx: jax.Array | None = None  # (ncap_pix,) into (nc, pmax) flat
+    caps_pix_idx: jax.Array | None = None
 
     @property
     def nh(self) -> int:
@@ -97,6 +124,18 @@ class SHTPlan:
     @property
     def pmax(self) -> int:
         return 4 * self.nside
+
+    @property
+    def ncap(self) -> int:
+        return self.nside - 1
+
+    @property
+    def nbelt(self) -> int:
+        return 2 * self.nside + 1
+
+    @property
+    def cap_pmax(self) -> int:
+        return 4 * (self.nside - 1)
 
 
 def _chirp_powers(n: np.ndarray, k2: np.ndarray) -> np.ndarray:
@@ -172,6 +211,59 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
 
     w = healpix.ring_weights(nside) if weights == "ring" else healpix.area_weights(nside)
 
+    # --- belt/cap split tables (fast local ring stage) ---
+    nc = nside - 1
+    split = nc > 0
+    belt_phase = cap_sA = cap_sVh = cap_sB = None
+    cap_aA = cap_aVh = cap_aB = None
+    capn_src = capn_valid = caps_src = caps_valid = None
+    capn_pix_idx = caps_pix_idx = None
+    cap_Ls = cap_La = 0
+    if split:
+        nbelt = 2 * nside + 1
+        cap_pmax = 4 * nc
+        # belt: e^{i m phi0_r} for rings nc .. nc+nbelt-1
+        belt_phase = np.exp(1j * g.phi0[nc: nc + nbelt, None] * m)
+        # caps: Bluestein with power-of-2 length (XLA TPU FFT strongly
+        # prefers powers of two; L >= n_in + n_out - 1 suffices)
+        idx_cap = np.concatenate([np.arange(nc), np.arange(3 * nside, 4 * nside - 1)])
+        nphi_c = g.nphi.astype(np.int64)[idx_cap][:, None]
+        phi0_c = g.phi0[idx_cap][:, None]
+        pc = np.arange(cap_pmax, dtype=np.int64)[None, :]
+        cap_Ls = 1 << int(np.ceil(np.log2(mmax + cap_pmax + 1)))
+        cap_sA = np.exp(1j * phi0_c * m) * _chirp_powers(nphi_c, m * m)
+        cap_sB = np.where(pc < nphi_c, _chirp_powers(nphi_c, pc * pc), 0.0)
+        jc = np.arange(mmax + cap_pmax, dtype=np.int64)[None, :] - mmax
+        vc = _chirp_powers(nphi_c, -(jc * jc))
+        vcpad = np.zeros((2 * nc, cap_Ls), dtype=np.complex128)
+        vcpad[:, : mmax + cap_pmax] = vc
+        cap_sVh = np.fft.fft(vcpad, axis=-1)
+        cap_La = 1 << int(np.ceil(np.log2(cap_pmax + mmax + 1)))
+        cap_aA = np.where(pc < nphi_c, _chirp_powers(nphi_c, -(pc * pc)), 0.0)
+        cap_aB = np.exp(-1j * phi0_c * m) * _chirp_powers(nphi_c, -(m * m))
+        jca = np.arange(cap_pmax + mmax, dtype=np.int64)[None, :] - (cap_pmax - 1)
+        vca = _chirp_powers(nphi_c, jca * jca)
+        vcapad = np.zeros((2 * nc, cap_La), dtype=np.complex128)
+        vcapad[:, : cap_pmax + mmax] = vca
+        cap_aVh = np.fft.fft(vcapad, axis=-1)
+        # cap pixel pad/gather tables (belt is a pure reshape)
+        def _cap_tables(rows):
+            src = np.zeros(len(rows) * pmax, dtype=np.int64)
+            val = np.zeros(len(rows) * pmax, dtype=np.float64)
+            rr_ = np.repeat(rows, pmax)
+            pp_ = np.tile(np.arange(pmax), len(rows))
+            ok_ = pp_ < g.nphi[rr_]
+            src[ok_] = g.offset[rr_[ok_]] + pp_[ok_]
+            val[ok_] = 1.0
+            # inverse: for each cap pixel, its (local_row, p) slot
+            loc = np.repeat(np.arange(len(rows)), g.nphi[rows])
+            pin = np.concatenate([np.arange(n) for n in g.nphi[rows]])
+            return (src.astype(np.int32), val,
+                    (loc * pmax + pin).astype(np.int32))
+        capn_src, capn_valid, capn_pix_idx = _cap_tables(np.arange(nc))
+        caps_src, caps_valid, caps_pix_idx = _cap_tables(
+            np.arange(3 * nside, 4 * nside - 1))
+
     # cast on host first: the TPU backend cannot ingest float64 buffers,
     # and device-side convert_element_type would require an f64 H2D.
     otf0 = None
@@ -197,6 +289,20 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
         pad_valid=dev(pad_valid),
         ring_weight=dev(w), qw=dev(w),
         otf0=otf0,
+        split=split, cap_Ls=cap_Ls, cap_La=cap_La,
+        belt_phase=devc(belt_phase) if split else None,
+        cap_sA=devc(cap_sA) if split else None,
+        cap_sVh=devc(cap_sVh) if split else None,
+        cap_sB=devc(cap_sB) if split else None,
+        cap_aA=devc(cap_aA) if split else None,
+        cap_aVh=devc(cap_aVh) if split else None,
+        cap_aB=devc(cap_aB) if split else None,
+        capn_src=jnp.asarray(capn_src) if split else None,
+        capn_valid=dev(capn_valid) if split else None,
+        caps_src=jnp.asarray(caps_src) if split else None,
+        caps_valid=dev(caps_valid) if split else None,
+        capn_pix_idx=jnp.asarray(capn_pix_idx) if split else None,
+        caps_pix_idx=jnp.asarray(caps_pix_idx) if split else None,
     )
 
 
@@ -218,11 +324,8 @@ def _fft_flat(x: jax.Array, n: int, inverse: bool = False) -> jax.Array:
     return out.reshape(*shape[:-1], out.shape[-1])
 
 
-def ring_synthesis(plan: SHTPlan, G: jax.Array) -> jax.Array:
-    """f[..., r, p] = sum_{m=0..mmax} G[..., r, m] e^{i m phi_{rp}} (complex).
-
-    Output padded to (..., nring, pmax); entries with p >= nphi_r are zero.
-    """
+def _ring_synthesis_bluestein(plan: SHTPlan, G: jax.Array) -> jax.Array:
+    """Whole-sphere Bluestein synthesis (used by the ring-sharded path)."""
     u = G * plan.synth_A
     U = _fft_flat(u, plan.Ls)
     w = _fft_flat(U * plan.synth_Vh, plan.Ls, inverse=True)
@@ -230,8 +333,39 @@ def ring_synthesis(plan: SHTPlan, G: jax.Array) -> jax.Array:
     return w * plan.synth_B
 
 
-def ring_analysis(plan: SHTPlan, f: jax.Array) -> jax.Array:
-    """F[..., r, m] = sum_{p<nphi_r} f[..., r, m] e^{-i m phi_{rp}} (complex)."""
+def ring_synthesis(plan: SHTPlan, G: jax.Array) -> jax.Array:
+    """f[..., r, p] = sum_{m=0..mmax} G[..., r, m] e^{i m phi_{rp}} (complex).
+
+    Output padded to (..., nring, pmax); entries with p >= nphi_r are zero.
+    Fast path: belt rings via one power-of-2 iFFT (all have nphi = 4 nside),
+    polar caps via a short power-of-2 Bluestein.
+    """
+    if not plan.split:
+        return _ring_synthesis_bluestein(plan, G)
+    nc, nbelt, fourN = plan.ncap, plan.nbelt, plan.pmax
+    # belt: alias-fold m modulo 4*nside, then inverse DFT of length 4*nside
+    H = jax.lax.slice_in_dim(G, nc, nc + nbelt, axis=-2) * plan.belt_phase
+    nm = H.shape[-1]
+    pad = (-nm) % fourN
+    if pad:
+        H = jnp.pad(H, [(0, 0)] * (H.ndim - 1) + [(0, pad)])
+    if H.shape[-1] > fourN:
+        H = H.reshape(*H.shape[:-1], -1, fourN).sum(axis=-2)
+    fb = _fft_flat(H, fourN, inverse=True) * fourN
+    # caps: short Bluestein (north and south rows stacked)
+    Gc = jnp.concatenate([G[..., :nc, :], G[..., nc + nbelt:, :]], axis=-2)
+    u = Gc * plan.cap_sA
+    U = _fft_flat(u, plan.cap_Ls)
+    w = _fft_flat(U * plan.cap_sVh, plan.cap_Ls, inverse=True)
+    w = jax.lax.slice_in_dim(w, plan.mmax, plan.mmax + plan.cap_pmax, axis=-1)
+    fc = w * plan.cap_sB
+    fc = jnp.pad(fc, [(0, 0)] * (fc.ndim - 2)
+                 + [(0, 0), (0, fourN - plan.cap_pmax)])
+    return jnp.concatenate([fc[..., :nc, :], fb, fc[..., nc:, :]], axis=-2)
+
+
+def _ring_analysis_bluestein(plan: SHTPlan, f: jax.Array) -> jax.Array:
+    """Whole-sphere Bluestein analysis (used by the ring-sharded path)."""
     u = f * plan.ana_A
     U = _fft_flat(u, plan.La)
     w = _fft_flat(U * plan.ana_Vh, plan.La, inverse=True)
@@ -239,14 +373,56 @@ def ring_analysis(plan: SHTPlan, f: jax.Array) -> jax.Array:
     return w * plan.ana_B
 
 
+def ring_analysis(plan: SHTPlan, f: jax.Array) -> jax.Array:
+    """F[..., r, m] = sum_{p<nphi_r} f[..., r, p] e^{-i m phi_{rp}} (complex)."""
+    if not plan.split:
+        return _ring_analysis_bluestein(plan, f)
+    nc, nbelt, fourN, nm = plan.ncap, plan.nbelt, plan.pmax, plan.mmax + 1
+    # belt: F_m = e^{-im phi0} * DFTbin(m mod 4 nside)
+    fb = jax.lax.slice_in_dim(f, nc, nc + nbelt, axis=-2)
+    bins = _fft_flat(fb, fourN)
+    reps = -(-nm // fourN)
+    if reps > 1:
+        bins = jnp.tile(bins, [1] * (bins.ndim - 1) + [reps])
+    Fb = bins[..., :nm] * jnp.conj(plan.belt_phase)
+    # caps
+    fc = jnp.concatenate([f[..., :nc, : plan.cap_pmax],
+                          f[..., nc + nbelt:, : plan.cap_pmax]], axis=-2)
+    u = fc * plan.cap_aA
+    U = _fft_flat(u, plan.cap_La)
+    w = _fft_flat(U * plan.cap_aVh, plan.cap_La, inverse=True)
+    w = jax.lax.slice_in_dim(w, plan.cap_pmax - 1, plan.cap_pmax - 1 + nm,
+                             axis=-1)
+    Fc = w * plan.cap_aB
+    return jnp.concatenate([Fc[..., :nc, :], Fb, Fc[..., nc:, :]], axis=-2)
+
+
 def _pad_to_rings(plan: SHTPlan, maps: jax.Array) -> jax.Array:
     """(..., npix) -> (..., nring, pmax) with zeros in invalid slots."""
+    if plan.split:
+        nc, fourN = plan.ncap, plan.pmax
+        b0 = 2 * plan.nside * nc
+        belt = jax.lax.slice_in_dim(
+            maps, b0, b0 + plan.nbelt * fourN, axis=-1
+        ).reshape(*maps.shape[:-1], plan.nbelt, fourN)
+        cn = (maps[..., plan.capn_src] * plan.capn_valid).reshape(
+            *maps.shape[:-1], nc, fourN)
+        cs = (maps[..., plan.caps_src] * plan.caps_valid).reshape(
+            *maps.shape[:-1], nc, fourN)
+        return jnp.concatenate([cn, belt, cs], axis=-2)
     flat = maps[..., plan.pad_src] * plan.pad_valid
     return flat.reshape(*maps.shape[:-1], plan.nring, plan.pmax)
 
 
 def _gather_pix(plan: SHTPlan, fpad: jax.Array) -> jax.Array:
     """(..., nring, pmax) -> (..., npix)."""
+    if plan.split:
+        nc, nbelt, fourN = plan.ncap, plan.nbelt, plan.pmax
+        lead = fpad.shape[:-2]
+        cn = fpad[..., :nc, :].reshape(*lead, nc * fourN)[..., plan.capn_pix_idx]
+        belt = fpad[..., nc: nc + nbelt, :].reshape(*lead, nbelt * fourN)
+        cs = fpad[..., nc + nbelt:, :].reshape(*lead, nc * fourN)[..., plan.caps_pix_idx]
+        return jnp.concatenate([cn, belt, cs], axis=-1)
     return fpad.reshape(*fpad.shape[:-2], -1)[..., plan.pix_idx]
 
 
