@@ -61,6 +61,16 @@ def bench_stage(name, body_fn, spec_x, enc_x, n_lo=2, n_hi=20):
     return per
 
 
+# full roundtrip at explicit f32 matmul precision
+import contextlib
+with jax.default_matmul_precision("float32"):
+    bench_stage("roundtrip f32-precision",
+                lambda p, a: sht.map2alm(p, sht.alm2map(p, a)).astype(a.dtype), spec_a, enc_a)
+    bench_stage("legendre f32-precision",
+                lambda p, a: (sht._legendre_adjoint(
+                    p, sht._legendre_synth(p, a * p.lmmask, p.lam0, p.lam0),
+                    p.lam0, p.lam0) * 1e-3).astype(a.dtype), spec_a, enc_a)
+
 # full roundtrip
 bench_stage("roundtrip (alm2map+map2alm)",
             lambda p, a: sht.map2alm(p, sht.alm2map(p, a)).astype(a.dtype), spec_a, enc_a)

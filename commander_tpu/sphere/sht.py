@@ -48,10 +48,9 @@ from .wigner import spin_lambda_north
                  "synth_Vh", "synth_B", "ana_A", "ana_Vh", "ana_B", "pix_idx",
                  "pad_src", "pad_valid", "ring_weight", "qw", "otf0",
                  "belt_phase", "cap_sA", "cap_sVh", "cap_sB", "cap_aA",
-                 "cap_aVh", "cap_aB", "capn_src", "capn_valid", "caps_src",
-                 "caps_valid", "capn_pix_idx", "caps_pix_idx"],
+                 "cap_aVh", "cap_aB"],
     meta_fields=["nside", "lmax", "mmax", "rdtype", "cdtype", "Ls", "La",
-                 "cap_Ls", "cap_La", "split"],
+                 "cap_groups", "split", "mat_prec"],
 )
 @dataclasses.dataclass(frozen=True)
 class SHTPlan:
@@ -93,21 +92,26 @@ class SHTPlan:
     # tables above are kept for the ring-sharded multi-chip path
     # (parallel/sht_shard.py), which slices rings by contiguous blocks.
     split: bool = False
-    cap_Ls: int = 0
-    cap_La: int = 0
+    # Matmul precision for the Legendre contractions. XLA's DEFAULT TPU
+    # matmul runs one bf16 pass (measured 2e-3 relative error on the
+    # synthesized map); "float32" recovers full f32 accuracy (3e-7) for
+    # ~20% extra roundtrip cost — the right default for a sampler whose CG
+    # and chi^2 depend on transform fidelity. Pass precision="default" to
+    # get_plan for throughput experiments.
+    mat_prec: str = "float32"
+    # cap rings grouped by required convolution length: north ring i+1 and
+    # its south mirror share (nphi, phi0), so each group's tables are
+    # (grows, .) broadcast over a leading north/south plane axis of size 2.
+    # cap_groups: ((i0, i1, Ls_k, La_k), ...) — rows i0..i1-1 (0-based,
+    # ascending i), power-of-2 lengths Ls_k/La_k >= mmax + 4*i1.
+    cap_groups: tuple = ()
     belt_phase: jax.Array | None = None   # (nbelt, nm) e^{i m phi0_r}
-    cap_sA: jax.Array | None = None       # (2nc, nm)
-    cap_sVh: jax.Array | None = None      # (2nc, cap_Ls)
-    cap_sB: jax.Array | None = None       # (2nc, cap_pmax)
-    cap_aA: jax.Array | None = None       # (2nc, cap_pmax)
-    cap_aVh: jax.Array | None = None      # (2nc, cap_La)
-    cap_aB: jax.Array | None = None       # (2nc, nm)
-    capn_src: jax.Array | None = None     # (nc*pmax,) int32 into map
-    capn_valid: jax.Array | None = None
-    caps_src: jax.Array | None = None
-    caps_valid: jax.Array | None = None
-    capn_pix_idx: jax.Array | None = None  # (ncap_pix,) into (nc, pmax) flat
-    caps_pix_idx: jax.Array | None = None
+    cap_sA: tuple = ()                    # per group (grows, nm)
+    cap_sVh: tuple = ()                   # per group (grows, Ls_k)
+    cap_sB: tuple = ()                    # per group (grows, 4*i1)
+    cap_aA: tuple = ()                    # per group (grows, 4*i1)
+    cap_aVh: tuple = ()                   # per group (grows, La_k)
+    cap_aB: tuple = ()                    # per group (grows, nm)
 
     @property
     def nh(self) -> int:
@@ -133,10 +137,6 @@ class SHTPlan:
     def nbelt(self) -> int:
         return 2 * self.nside + 1
 
-    @property
-    def cap_pmax(self) -> int:
-        return 4 * (self.nside - 1)
-
 
 def _chirp_powers(n: np.ndarray, k2: np.ndarray) -> np.ndarray:
     """exp(i*pi*k2/n) computed with k2 reduced mod 2n in exact ints."""
@@ -148,7 +148,8 @@ def _chirp_powers(n: np.ndarray, k2: np.ndarray) -> np.ndarray:
 def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False,
              dtype: str = "float64", weights: str = "ring",
              tables: bool = True,
-             legendre_backend: str = "xla") -> SHTPlan:
+             legendre_backend: str = "xla",
+             precision: str = "float32") -> SHTPlan:
     """Build (host) and cache the SHT plan for one resolution.
 
     tables=False skips the precomputed Legendre tables (lam0/lam_p2/lam_m2
@@ -214,55 +215,50 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     # --- belt/cap split tables (fast local ring stage) ---
     nc = nside - 1
     split = nc > 0
-    belt_phase = cap_sA = cap_sVh = cap_sB = None
-    cap_aA = cap_aVh = cap_aB = None
-    capn_src = capn_valid = caps_src = caps_valid = None
-    capn_pix_idx = caps_pix_idx = None
-    cap_Ls = cap_La = 0
+    belt_phase = None
+    cap_groups = ()
+    cap_sA, cap_sVh, cap_sB = [], [], []
+    cap_aA, cap_aVh, cap_aB = [], [], []
     if split:
         nbelt = 2 * nside + 1
-        cap_pmax = 4 * nc
         # belt: e^{i m phi0_r} for rings nc .. nc+nbelt-1
         belt_phase = np.exp(1j * g.phi0[nc: nc + nbelt, None] * m)
-        # caps: Bluestein with power-of-2 length (XLA TPU FFT strongly
-        # prefers powers of two; L >= n_in + n_out - 1 suffices)
-        idx_cap = np.concatenate([np.arange(nc), np.arange(3 * nside, 4 * nside - 1)])
-        nphi_c = g.nphi.astype(np.int64)[idx_cap][:, None]
-        phi0_c = g.phi0[idx_cap][:, None]
-        pc = np.arange(cap_pmax, dtype=np.int64)[None, :]
-        cap_Ls = 1 << int(np.ceil(np.log2(mmax + cap_pmax + 1)))
-        cap_sA = np.exp(1j * phi0_c * m) * _chirp_powers(nphi_c, m * m)
-        cap_sB = np.where(pc < nphi_c, _chirp_powers(nphi_c, pc * pc), 0.0)
-        jc = np.arange(mmax + cap_pmax, dtype=np.int64)[None, :] - mmax
-        vc = _chirp_powers(nphi_c, -(jc * jc))
-        vcpad = np.zeros((2 * nc, cap_Ls), dtype=np.complex128)
-        vcpad[:, : mmax + cap_pmax] = vc
-        cap_sVh = np.fft.fft(vcpad, axis=-1)
-        cap_La = 1 << int(np.ceil(np.log2(cap_pmax + mmax + 1)))
-        cap_aA = np.where(pc < nphi_c, _chirp_powers(nphi_c, -(pc * pc)), 0.0)
-        cap_aB = np.exp(-1j * phi0_c * m) * _chirp_powers(nphi_c, -(m * m))
-        jca = np.arange(cap_pmax + mmax, dtype=np.int64)[None, :] - (cap_pmax - 1)
-        vca = _chirp_powers(nphi_c, jca * jca)
-        vcapad = np.zeros((2 * nc, cap_La), dtype=np.complex128)
-        vcapad[:, : cap_pmax + mmax] = vca
-        cap_aVh = np.fft.fft(vcapad, axis=-1)
-        # cap pixel pad/gather tables (belt is a pure reshape)
-        def _cap_tables(rows):
-            src = np.zeros(len(rows) * pmax, dtype=np.int64)
-            val = np.zeros(len(rows) * pmax, dtype=np.float64)
-            rr_ = np.repeat(rows, pmax)
-            pp_ = np.tile(np.arange(pmax), len(rows))
-            ok_ = pp_ < g.nphi[rr_]
-            src[ok_] = g.offset[rr_[ok_]] + pp_[ok_]
-            val[ok_] = 1.0
-            # inverse: for each cap pixel, its (local_row, p) slot
-            loc = np.repeat(np.arange(len(rows)), g.nphi[rows])
-            pin = np.concatenate([np.arange(n) for n in g.nphi[rows]])
-            return (src.astype(np.int32), val,
-                    (loc * pmax + pin).astype(np.int32))
-        capn_src, capn_valid, capn_pix_idx = _cap_tables(np.arange(nc))
-        caps_src, caps_valid, caps_pix_idx = _cap_tables(
-            np.arange(3 * nside, 4 * nside - 1))
+        # caps: Bluestein with power-of-2 lengths, rings grouped by the
+        # smallest length satisfying L >= nm + nphi - 1 = mmax + 4*i (XLA
+        # TPU FFT strongly prefers powers of two, and small polar rings
+        # need far shorter convolutions than large ones). North ring i+1
+        # and its south mirror share (nphi, phi0): one table row serves
+        # both, broadcast over a leading plane axis of size 2.
+        groups = []
+        i0 = 0
+        while i0 < nc:
+            L = 1 << int(np.ceil(np.log2(mmax + 4 * (i0 + 1))))
+            i1 = min(nc, (L - mmax) // 4)
+            gp = 4 * i1                     # widest ring in group
+            rows = np.arange(i0, i1)
+            nphi_c = (4 * (rows + 1)).astype(np.int64)[:, None]
+            phi0_c = np.pi / nphi_c
+            pc = np.arange(gp, dtype=np.int64)[None, :]
+            groups.append((i0, i1, L, L))
+            cap_sA.append(np.exp(1j * phi0_c * m) * _chirp_powers(nphi_c, m * m))
+            cap_sB.append(np.where(pc < nphi_c,
+                                   _chirp_powers(nphi_c, pc * pc), 0.0))
+            jc = np.arange(mmax + gp, dtype=np.int64)[None, :] - mmax
+            vc = _chirp_powers(nphi_c, -(jc * jc))
+            vcpad = np.zeros((len(rows), L), dtype=np.complex128)
+            vcpad[:, : mmax + gp] = vc
+            cap_sVh.append(np.fft.fft(vcpad, axis=-1))
+            cap_aA.append(np.where(pc < nphi_c,
+                                   _chirp_powers(nphi_c, -(pc * pc)), 0.0))
+            cap_aB.append(np.exp(-1j * phi0_c * m)
+                          * _chirp_powers(nphi_c, -(m * m)))
+            jca = np.arange(gp + mmax, dtype=np.int64)[None, :] - (gp - 1)
+            vca = _chirp_powers(nphi_c, jca * jca)
+            vcapad = np.zeros((len(rows), L), dtype=np.complex128)
+            vcapad[:, : gp + mmax] = vca
+            cap_aVh.append(np.fft.fft(vcapad, axis=-1))
+            i0 = i1
+        cap_groups = tuple(groups)
 
     # cast on host first: the TPU backend cannot ingest float64 buffers,
     # and device-side convert_element_type would require an f64 H2D.
@@ -289,20 +285,14 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
         pad_valid=dev(pad_valid),
         ring_weight=dev(w), qw=dev(w),
         otf0=otf0,
-        split=split, cap_Ls=cap_Ls, cap_La=cap_La,
+        split=split, cap_groups=cap_groups, mat_prec=precision,
         belt_phase=devc(belt_phase) if split else None,
-        cap_sA=devc(cap_sA) if split else None,
-        cap_sVh=devc(cap_sVh) if split else None,
-        cap_sB=devc(cap_sB) if split else None,
-        cap_aA=devc(cap_aA) if split else None,
-        cap_aVh=devc(cap_aVh) if split else None,
-        cap_aB=devc(cap_aB) if split else None,
-        capn_src=jnp.asarray(capn_src) if split else None,
-        capn_valid=dev(capn_valid) if split else None,
-        caps_src=jnp.asarray(caps_src) if split else None,
-        caps_valid=dev(caps_valid) if split else None,
-        capn_pix_idx=jnp.asarray(capn_pix_idx) if split else None,
-        caps_pix_idx=jnp.asarray(caps_pix_idx) if split else None,
+        cap_sA=tuple(devc(x) for x in cap_sA),
+        cap_sVh=tuple(devc(x) for x in cap_sVh),
+        cap_sB=tuple(devc(x) for x in cap_sB),
+        cap_aA=tuple(devc(x) for x in cap_aA),
+        cap_aVh=tuple(devc(x) for x in cap_aVh),
+        cap_aB=tuple(devc(x) for x in cap_aB),
     )
 
 
@@ -352,16 +342,21 @@ def ring_synthesis(plan: SHTPlan, G: jax.Array) -> jax.Array:
     if H.shape[-1] > fourN:
         H = H.reshape(*H.shape[:-1], -1, fourN).sum(axis=-2)
     fb = _fft_flat(H, fourN, inverse=True) * fourN
-    # caps: short Bluestein (north and south rows stacked)
-    Gc = jnp.concatenate([G[..., :nc, :], G[..., nc + nbelt:, :]], axis=-2)
-    u = Gc * plan.cap_sA
-    U = _fft_flat(u, plan.cap_Ls)
-    w = _fft_flat(U * plan.cap_sVh, plan.cap_Ls, inverse=True)
-    w = jax.lax.slice_in_dim(w, plan.mmax, plan.mmax + plan.cap_pmax, axis=-1)
-    fc = w * plan.cap_sB
-    fc = jnp.pad(fc, [(0, 0)] * (fc.ndim - 2)
-                 + [(0, 0), (0, fourN - plan.cap_pmax)])
-    return jnp.concatenate([fc[..., :nc, :], fb, fc[..., nc:, :]], axis=-2)
+    # caps: grouped short Bluesteins over (north, south-flipped) planes
+    Gc = jnp.stack([G[..., :nc, :],
+                    jnp.flip(G[..., nc + nbelt:, :], axis=-2)], axis=-3)
+    outs = []
+    for k, (i0, i1, Ls_k, _) in enumerate(plan.cap_groups):
+        gp = 4 * i1
+        u = Gc[..., :, i0:i1, :] * plan.cap_sA[k]
+        U = _fft_flat(u, Ls_k)
+        w = _fft_flat(U * plan.cap_sVh[k], Ls_k, inverse=True)
+        w = jax.lax.slice_in_dim(w, plan.mmax, plan.mmax + gp, axis=-1)
+        fk = w * plan.cap_sB[k]
+        outs.append(jnp.pad(fk, [(0, 0)] * (fk.ndim - 1) + [(0, fourN - gp)]))
+    fc = jnp.concatenate(outs, axis=-2)
+    return jnp.concatenate([fc[..., 0, :, :], fb,
+                            jnp.flip(fc[..., 1, :, :], axis=-2)], axis=-2)
 
 
 def _ring_analysis_bluestein(plan: SHTPlan, f: jax.Array) -> jax.Array:
@@ -385,30 +380,55 @@ def ring_analysis(plan: SHTPlan, f: jax.Array) -> jax.Array:
     if reps > 1:
         bins = jnp.tile(bins, [1] * (bins.ndim - 1) + [reps])
     Fb = bins[..., :nm] * jnp.conj(plan.belt_phase)
-    # caps
-    fc = jnp.concatenate([f[..., :nc, : plan.cap_pmax],
-                          f[..., nc + nbelt:, : plan.cap_pmax]], axis=-2)
-    u = fc * plan.cap_aA
-    U = _fft_flat(u, plan.cap_La)
-    w = _fft_flat(U * plan.cap_aVh, plan.cap_La, inverse=True)
-    w = jax.lax.slice_in_dim(w, plan.cap_pmax - 1, plan.cap_pmax - 1 + nm,
-                             axis=-1)
-    Fc = w * plan.cap_aB
-    return jnp.concatenate([Fc[..., :nc, :], Fb, Fc[..., nc:, :]], axis=-2)
+    # caps: grouped short Bluesteins over (north, south-flipped) planes
+    fcap = jnp.stack([f[..., :nc, :],
+                      jnp.flip(f[..., nc + nbelt:, :], axis=-2)], axis=-3)
+    outs = []
+    for k, (i0, i1, _, La_k) in enumerate(plan.cap_groups):
+        gp = 4 * i1
+        u = fcap[..., :, i0:i1, :gp] * plan.cap_aA[k]
+        U = _fft_flat(u, La_k)
+        w = _fft_flat(U * plan.cap_aVh[k], La_k, inverse=True)
+        w = jax.lax.slice_in_dim(w, gp - 1, gp - 1 + nm, axis=-1)
+        outs.append(w * plan.cap_aB[k])
+    Fc = jnp.concatenate(outs, axis=-2)
+    return jnp.concatenate([Fc[..., 0, :, :], Fb,
+                            jnp.flip(Fc[..., 1, :, :], axis=-2)], axis=-2)
+
+
+def _cap_rows(nside: int):
+    """Static (offset, nphi) per cap ring: north row i (ring i+1) and south
+    row j (ring 3*nside+j). Analytic HEALPix layout — no tables needed."""
+    N, nc = nside, nside - 1
+    npix = 12 * N * N
+    north = [(2 * i * (i + 1), 4 * (i + 1)) for i in range(nc)]
+    south = [(npix - 2 * (N - 1 - j) * (N - j), 4 * (N - 1 - j))
+             for j in range(nc)]
+    return north, south
 
 
 def _pad_to_rings(plan: SHTPlan, maps: jax.Array) -> jax.Array:
-    """(..., npix) -> (..., nring, pmax) with zeros in invalid slots."""
+    """(..., npix) -> (..., nring, pmax) with zeros in invalid slots.
+
+    Split path: the belt block is a pure reshape (contiguous in RING pixel
+    order); each cap ring is one static slice + padded row write — unrolled
+    dense copies, which the TPU executes far faster than a pixel gather."""
     if plan.split:
         nc, fourN = plan.ncap, plan.pmax
+        lead = maps.shape[:-1]
         b0 = 2 * plan.nside * nc
         belt = jax.lax.slice_in_dim(
             maps, b0, b0 + plan.nbelt * fourN, axis=-1
-        ).reshape(*maps.shape[:-1], plan.nbelt, fourN)
-        cn = (maps[..., plan.capn_src] * plan.capn_valid).reshape(
-            *maps.shape[:-1], nc, fourN)
-        cs = (maps[..., plan.caps_src] * plan.caps_valid).reshape(
-            *maps.shape[:-1], nc, fourN)
+        ).reshape(*lead, plan.nbelt, fourN)
+        north, south = _cap_rows(plan.nside)
+        cn = jnp.zeros((*lead, nc, fourN), maps.dtype)
+        cs = jnp.zeros((*lead, nc, fourN), maps.dtype)
+        for i, (o, n) in enumerate(north):
+            cn = cn.at[..., i, :n].set(
+                jax.lax.slice_in_dim(maps, o, o + n, axis=-1))
+        for j, (o, n) in enumerate(south):
+            cs = cs.at[..., j, :n].set(
+                jax.lax.slice_in_dim(maps, o, o + n, axis=-1))
         return jnp.concatenate([cn, belt, cs], axis=-2)
     flat = maps[..., plan.pad_src] * plan.pad_valid
     return flat.reshape(*maps.shape[:-1], plan.nring, plan.pmax)
@@ -419,10 +439,12 @@ def _gather_pix(plan: SHTPlan, fpad: jax.Array) -> jax.Array:
     if plan.split:
         nc, nbelt, fourN = plan.ncap, plan.nbelt, plan.pmax
         lead = fpad.shape[:-2]
-        cn = fpad[..., :nc, :].reshape(*lead, nc * fourN)[..., plan.capn_pix_idx]
-        belt = fpad[..., nc: nc + nbelt, :].reshape(*lead, nbelt * fourN)
-        cs = fpad[..., nc + nbelt:, :].reshape(*lead, nc * fourN)[..., plan.caps_pix_idx]
-        return jnp.concatenate([cn, belt, cs], axis=-1)
+        north, south = _cap_rows(plan.nside)
+        parts = [fpad[..., i, : n] for i, (_, n) in enumerate(north)]
+        parts.append(fpad[..., nc: nc + nbelt, :].reshape(*lead, nbelt * fourN))
+        parts += [fpad[..., nc + nbelt + j, : n]
+                  for j, (_, n) in enumerate(south)]
+        return jnp.concatenate(parts, axis=-1)
     return fpad.reshape(*fpad.shape[:-2], -1)[..., plan.pix_idx]
 
 
@@ -430,28 +452,100 @@ def _gather_pix(plan: SHTPlan, fpad: jax.Array) -> jax.Array:
 # Legendre stage
 # ---------------------------------------------------------------------------
 
+def _recomplex(F4: jax.Array):
+    """(..., 2k, r, m) real stack -> k complex arrays (..., r, m)."""
+    return [F4[..., 2 * i, :, :] + 1j * F4[..., 2 * i + 1, :, :]
+            for i in range(F4.shape[-3] // 2)]
+
+
 def _legendre_synth(plan: SHTPlan, alm: jax.Array, lam: jax.Array,
                     lam_south: jax.Array) -> jax.Array:
     """alm (..., nl, nm) complex -> F (..., nring, nm) complex.
 
     North rings use table `lam`; south rings use `lam_south` with the parity
     sign folded into the alm (lambda(pi-theta) = (-1)^(l+m) lambda'(theta)).
+
+    The contraction is performed in REAL arithmetic with (re, im) — and,
+    when north/south share a table, the parity-folded copies — stacked into
+    the matmul M-dimension: one pass over the (large, HBM-resident)
+    Legendre table instead of two complex-promoted passes.
     """
     alm = alm * plan.lmmask
-    Fn = jnp.einsum("...lm,rlm->...rm", alm, lam)
-    Fs = jnp.einsum("...lm,rlm->...rm", alm * plan.parity, lam_south)
+    ap = alm * plan.parity
+    if lam is lam_south:
+        st = jnp.stack([alm.real, alm.imag, ap.real, ap.imag], axis=-3)
+        Fn, Fs = _recomplex(jnp.einsum("...klm,rlm->...krm", st, lam, precision=plan.mat_prec))
+    else:
+        stn = jnp.stack([alm.real, alm.imag], axis=-3)
+        sts = jnp.stack([ap.real, ap.imag], axis=-3)
+        Fn, = _recomplex(jnp.einsum("...klm,rlm->...krm", stn, lam, precision=plan.mat_prec))
+        Fs, = _recomplex(jnp.einsum("...klm,rlm->...krm", sts, lam_south, precision=plan.mat_prec))
     south = jnp.flip(Fs[..., : plan.nh - 1, :], axis=-2)
     return jnp.concatenate([Fn, south], axis=-2)
 
 
+def _south_rows(plan: SHTPlan, F: jax.Array) -> jax.Array:
+    """South-ring rows of F flipped to theta_0..theta_{nh-2} order and
+    zero-padded to nh rows (so they contract against the same nh-row
+    northern table in one fused matmul)."""
+    Fs = jnp.flip(F[..., plan.nh:, :], axis=-2)
+    return jnp.pad(Fs, [(0, 0)] * (Fs.ndim - 2) + [(0, 1), (0, 0)])
+
+
 def _legendre_adjoint(plan: SHTPlan, F: jax.Array, lam: jax.Array,
                       lam_south: jax.Array) -> jax.Array:
-    """F (..., nring, nm) complex -> alm (..., nl, nm) complex (transpose)."""
+    """F (..., nring, nm) complex -> alm (..., nl, nm) complex (transpose).
+
+    Same real-stacked single-table-pass strategy as _legendre_synth."""
     Fn = F[..., : plan.nh, :]
-    Fs = jnp.flip(F[..., plan.nh:, :], axis=-2)  # rows at theta_0..theta_{nh-2}
-    a = jnp.einsum("...rm,rlm->...lm", Fn, lam)
-    a = a + jnp.einsum("...rm,rlm->...lm", Fs, lam_south[: plan.nh - 1]) * plan.parity
+    if lam is lam_south:
+        Fs = _south_rows(plan, F)
+        st = jnp.stack([Fn.real, Fn.imag, Fs.real, Fs.imag], axis=-3)
+        an, as_ = _recomplex(jnp.einsum("...krm,rlm->...klm", st, lam, precision=plan.mat_prec))
+        a = an + as_ * plan.parity
+    else:
+        Fs = jnp.flip(F[..., plan.nh:, :], axis=-2)
+        stn = jnp.stack([Fn.real, Fn.imag], axis=-3)
+        sts = jnp.stack([Fs.real, Fs.imag], axis=-3)
+        an, = _recomplex(jnp.einsum("...krm,rlm->...klm", stn, lam, precision=plan.mat_prec))
+        as_, = _recomplex(jnp.einsum("...krm,rlm->...klm", sts,
+                                     lam_south[: plan.nh - 1],
+                                     precision=plan.mat_prec))
+        a = an + as_ * plan.parity
     return a * plan.lmmask
+
+
+def _legendre_synth_spin2(plan: SHTPlan, cp: jax.Array, cm: jax.Array):
+    """Fused spin-2 Legendre synthesis: one pass over each of the two
+    spin-2 tables serves both streams (north of one, parity-folded south
+    of the other). Returns (Sp, Sm) as _legendre_synth would."""
+    cp = cp * plan.lmmask
+    cm = cm * plan.lmmask
+    cpp = cp * plan.parity
+    cmp_ = cm * plan.parity
+    st_p2 = jnp.stack([cp.real, cp.imag, cmp_.real, cmp_.imag], axis=-3)
+    st_m2 = jnp.stack([cm.real, cm.imag, cpp.real, cpp.imag], axis=-3)
+    Sp_n, Sm_s = _recomplex(jnp.einsum("...klm,rlm->...krm", st_p2, plan.lam_p2, precision=plan.mat_prec))
+    Sm_n, Sp_s = _recomplex(jnp.einsum("...klm,rlm->...krm", st_m2, plan.lam_m2, precision=plan.mat_prec))
+    Sp = jnp.concatenate([Sp_n, jnp.flip(Sp_s[..., : plan.nh - 1, :], axis=-2)],
+                         axis=-2)
+    Sm = jnp.concatenate([Sm_n, jnp.flip(Sm_s[..., : plan.nh - 1, :], axis=-2)],
+                         axis=-2)
+    return Sp, Sm
+
+
+def _legendre_adjoint_spin2(plan: SHTPlan, Gp: jax.Array, K: jax.Array):
+    """Fused spin-2 Legendre adjoint: (Up, Um) = (adj(Gp; p2, m2),
+    adj(K; m2, p2)) with one pass over each table."""
+    Gp_n, Gp_s = Gp[..., : plan.nh, :], _south_rows(plan, Gp)
+    K_n, K_s = K[..., : plan.nh, :], _south_rows(plan, K)
+    st_p2 = jnp.stack([Gp_n.real, Gp_n.imag, K_s.real, K_s.imag], axis=-3)
+    st_m2 = jnp.stack([K_n.real, K_n.imag, Gp_s.real, Gp_s.imag], axis=-3)
+    Up_n, Um_s = _recomplex(jnp.einsum("...krm,rlm->...klm", st_p2, plan.lam_p2, precision=plan.mat_prec))
+    Um_n, Up_s = _recomplex(jnp.einsum("...krm,rlm->...klm", st_m2, plan.lam_m2, precision=plan.mat_prec))
+    Up = (Up_n + Up_s * plan.parity) * plan.lmmask
+    Um = (Um_n + Um_s * plan.parity) * plan.lmmask
+    return Up, Um
 
 
 # ---------------------------------------------------------------------------
@@ -541,8 +635,7 @@ def alm2map_spin2(plan: SHTPlan, alm_E: jax.Array, alm_B: jax.Array):
     assert plan.lam_p2 is not None, "plan built without spin2=True"
     cp = -(alm_E + 1j * alm_B).astype(plan.cdtype)   # coeff of +2Y
     cm = -(alm_E - 1j * alm_B).astype(plan.cdtype)   # coeff of -2Y
-    Sp = _legendre_synth(plan, cp, plan.lam_p2, plan.lam_m2)
-    Sm = _legendre_synth(plan, cm, plan.lam_m2, plan.lam_p2)
+    Sp, Sm = _legendre_synth_spin2(plan, cp, cm)
     # P(p) = sum_{m>=0} Sp_m e^{im phi} + sum_{m>=1} conj(Sm_m) e^{-im phi}
     mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((plan.mmax,))]).astype(plan.rdtype)
     P = ring_synthesis(plan, Sp) + jnp.conj(ring_synthesis(plan, Sm * mpos))
@@ -565,8 +658,7 @@ def alm2map_spin2_adjoint(plan: SHTPlan, Q: jax.Array, U: jax.Array):
     fpad_p = _pad_to_rings(plan, P)
     Gp = ring_analysis(plan, fpad_p)
     K = ring_analysis(plan, jnp.conj(fpad_p))
-    Up = _legendre_adjoint(plan, Gp, plan.lam_p2, plan.lam_m2)
-    Um = _legendre_adjoint(plan, K, plan.lam_m2, plan.lam_p2)
+    Up, Um = _legendre_adjoint_spin2(plan, Gp, K)
     mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((plan.mmax,))]).astype(plan.rdtype)
     Um = Um * mpos
     eps = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((plan.mmax,))]).astype(plan.rdtype)
@@ -610,8 +702,7 @@ def map2alm_spin2(plan: SHTPlan, Q: jax.Array, U: jax.Array):
     Gp = ring_analysis(plan, fpad)
     K = ring_analysis(plan, jnp.conj(fpad))
     # (+2)a_lm and (-2)a_lm quadrature estimates (valid for all m >= 0):
-    a_p2 = _legendre_adjoint(plan, Gp, plan.lam_p2, plan.lam_m2)
-    a_m2 = _legendre_adjoint(plan, K, plan.lam_m2, plan.lam_p2)
+    a_p2, a_m2 = _legendre_adjoint_spin2(plan, Gp, K)
     Eh = -(a_p2 + a_m2) / 2.0
     Bh = 1j * (a_p2 - a_m2) / 2.0
     return Eh, Bh
