@@ -47,7 +47,9 @@ def _synth_kernel(nl: int, lmax: int, mp: int,
         prev = jnp.where(start, 0.0, prev)
         prev_e = jnp.where(start, 0, prev_e)
         emit = jnp.where(cur_e == 0, cur,
-                         jnp.where(cur_e == -1, cur * bigi, 0.0))
+                         jnp.where(cur_e == -1, cur * bigi,
+                                   jnp.where(cur_e == -2,
+                                             cur * (bigi * bigi), 0.0)))
         emit = emit * norm_ref[l, 0]
         # accumulate F += a_l * lambda_l into parity accumulators
         a_re = a_re_ref[l, :]                            # (BM,)
@@ -166,7 +168,9 @@ def _adj_kernel(nl: int, lmax: int, mp: int,
         prev = jnp.where(start, 0.0, prev)
         prev_e = jnp.where(start, 0, prev_e)
         emit = jnp.where(cur_e == 0, cur,
-                         jnp.where(cur_e == -1, cur * bigi, 0.0))
+                         jnp.where(cur_e == -1, cur * bigi,
+                                   jnp.where(cur_e == -2,
+                                             cur * (bigi * bigi), 0.0)))
         emit = emit * norm_ref[l, 0]
         l_par = 1.0 - 2.0 * jnp.float32(l % 2)
         even = 0.5 * (1.0 + l_par * m_par)               # (BH, BM)

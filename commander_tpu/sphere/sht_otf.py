@@ -142,7 +142,9 @@ def _rec_step(otf: LegendreOTF, carry, l):
     prev = jnp.where(start, 0.0, prev)
     prev_e = jnp.where(start, 0, prev_e)
     emit = jnp.where(cur_e == 0, cur,
-                     jnp.where(cur_e == -1, cur * bigi, 0.0))
+                     jnp.where(cur_e == -1, cur * bigi,
+                               jnp.where(cur_e == -2, cur * (bigi * bigi),
+                                         0.0)))
     lc = jnp.clip(l, 0, otf.lmax)
     valid = (l <= otf.lmax).astype(dt)
     emit = emit * otf.norm[lc] * valid
@@ -155,8 +157,13 @@ def _rec_step(otf: LegendreOTF, carry, l):
     grow = jnp.abs(new) > big
     new = jnp.where(grow, new * bigi, new)
     cur_scaled = jnp.where(grow, cur * bigi, cur)
+    # the divided cur must carry the incremented exponent too, else the
+    # beta*prev term is double-scaled (to ~2^-30 of its value) on the step
+    # after a rescale — catastrophic when the rescale lands near the
+    # turning point where prev ~ cur (seen as ~1e8 mode amplification at
+    # nside 512 before the fix)
     new_e = cur_e + grow.astype(jnp.int32)
-    return (cur_scaled, cur_e, new, new_e), emit
+    return (cur_scaled, new_e, new, new_e), emit
 
 
 def _init_rec_carry(otf: LegendreOTF):
@@ -228,8 +235,8 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
         ls = l0 + jnp.arange(L, dtype=jnp.int32)
         rec, lam = jax.lax.scan(partial(_rec_step, otf), rec, ls)
         even = _even_weights(otf, ls)
-        Fe = Fe + jnp.einsum("...lm,lrm->...rm", a_c * even, lam)
-        Fo = Fo + jnp.einsum("...lm,lrm->...rm", a_c * (1.0 - even), lam)
+        Fe = Fe + jnp.einsum("...lm,lrm->...rm", a_c * even, lam, precision="float32")
+        Fo = Fo + jnp.einsum("...lm,lrm->...rm", a_c * (1.0 - even), lam, precision="float32")
         return (rec, Fe, Fo), None
 
     Fe0 = jnp.zeros(batch + (nh, 1), cdt) \
@@ -264,8 +271,8 @@ def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
         ls = l0 + jnp.arange(L, dtype=jnp.int32)
         rec, lam = jax.lax.scan(partial(_rec_step, otf), rec, ls)
         even = _even_weights(otf, ls)
-        a_e = jnp.einsum("...rm,lrm->...lm", Ge, lam) * even
-        a_o = jnp.einsum("...rm,lrm->...lm", Go, lam) * (1.0 - even)
+        a_e = jnp.einsum("...rm,lrm->...lm", Ge, lam, precision="float32") * even
+        a_o = jnp.einsum("...rm,lrm->...lm", Go, lam, precision="float32") * (1.0 - even)
         return rec, a_e + a_o
 
     l0s = jnp.arange(nchunks, dtype=jnp.int32) * L
@@ -305,10 +312,10 @@ def synth_spin2_otf(otf_p: LegendreOTF, otf_m: LegendreOTF, cp: jnp.ndarray,
         ce = c_c * even
         co = c_c * (1.0 - even)
         # E/O accumulators against both tables: index [coeff(2), ...]
-        Ep = Ep + jnp.einsum("k...lm,lrm->k...rm", ce, lam_p)
-        Op = Op + jnp.einsum("k...lm,lrm->k...rm", co, lam_p)
-        Em = Em + jnp.einsum("k...lm,lrm->k...rm", ce, lam_m)
-        Om = Om + jnp.einsum("k...lm,lrm->k...rm", co, lam_m)
+        Ep = Ep + jnp.einsum("k...lm,lrm->k...rm", ce, lam_p, precision="float32")
+        Op = Op + jnp.einsum("k...lm,lrm->k...rm", co, lam_p, precision="float32")
+        Em = Em + jnp.einsum("k...lm,lrm->k...rm", ce, lam_m, precision="float32")
+        Om = Om + jnp.einsum("k...lm,lrm->k...rm", co, lam_m, precision="float32")
         return (rec_p, rec_m, Ep, Op, Em, Om), None
 
     z = jnp.zeros((2,) + batch + (nh, 1), cdt) \

@@ -138,7 +138,13 @@ def wigner_d_table_fast(lmax: int, m_max: int, mp: int, cth2: np.ndarray,
             new_exp = new_exp + big
         else:
             cur_scaled = cur_mant
-        prev_mant, prev_exp = cur_scaled, cur_exp
+        # the divided cur must carry the incremented exponent (new_exp), or
+        # the beta*prev term is double-scaled to ~0 on the step after a
+        # rescale — a ~5% persistent error when the rescale lands near the
+        # turning point where prev ~ cur (caught vs scipy at nside 512).
+        # copy(): the starting-column reset mutates prev_exp in place and
+        # must not clobber cur_exp through aliasing
+        prev_mant, prev_exp = cur_scaled, new_exp.copy()
         cur_mant, cur_exp = new_mant, new_exp
         # freeze inactive columns so their (zero) state is untouched
         inactive = (l0 > l)[0]
@@ -258,7 +264,9 @@ def wigner_d_table(lmax: int, m_max: int, mp: int, cth2: np.ndarray,
                 new_exp = new_exp + big.astype(np.int64)
             else:
                 cur_scaled = cur_mant
-            prev_mant, prev_exp = cur_scaled, cur_exp
+            # see wigner_d_table_fast: prev must carry the incremented
+            # exponent after a rescale (copy: no aliasing with cur_exp)
+            prev_mant, prev_exp = cur_scaled, new_exp.copy()
             cur_mant, cur_exp = new_mant, new_exp
             emit(l + 1, cur_mant, cur_exp)
     return out

@@ -103,3 +103,61 @@ def test_tableless_plan_dispatch():
                                        maxiter=200)
     assert res_o.converged and res_t.converged
     np.testing.assert_allclose(np.asarray(a_o), np.asarray(a_t), atol=1e-7)
+
+
+def test_deep_mode_emergence_accuracy():
+    """Regression: scaled-recurrence rescale events near the turning point.
+
+    Before the fix, a rescale (mantissa crossing the 2^k block boundary)
+    recorded the divided `cur` with a stale exponent, double-scaling the
+    beta*prev term on the next step. For modes whose seed underflows deeply
+    (large m, polar rings) and whose rescale lands near the turning point
+    (prev ~ cur), this froze a ~5% multiplicative error into every
+    lambda_lm of that (ring, m) from the emergence point on (seen at
+    nside 512 as ~1e8 roundtrip mode amplification). Oracle: the Jacobi
+    form d^l_{m,0} ~ P_{l-m}^{(m,m)}(cos t), exact and stable for small
+    l - m (scipy's own sph_harm_y is wrong at these modes).
+    """
+    import numpy as np
+    from scipy.special import eval_jacobi, gammaln
+
+    from commander_tpu.sphere import healpix, sht_otf
+    from commander_tpu.sphere.wigner import spin_lambda_north
+
+    nside, lmax = 128, 256
+
+    def jac_lam(l, m, beta):
+        s = l - m
+        logfac = 0.5 * (gammaln(s + 1) + gammaln(s + 2 * m + 1)
+                        - 2 * gammaln(s + m + 1))
+        lpow = m * (np.log(np.sin(beta / 2)) + np.log(np.cos(beta / 2)))
+        if logfac + lpow < -600:
+            return 0.0
+        return float(np.exp(logfac + lpow)
+                     * eval_jacobi(s, m, m, np.cos(beta))
+                     * np.sqrt((2 * l + 1) / (4 * np.pi)))
+
+    g = healpix.ring_geometry(nside)
+    tab, _ = spin_lambda_north(nside, lmax, 0, lmax)
+    otf = sht_otf.legendre_otf(nside, lmax, 0, dtype="float64", chunk=32)
+    chunks = dict(sht_otf._lam_chunks_scan(
+        otf, lambda l0, lam, ex: ex + [(l0, np.asarray(lam))], []))
+
+    checked = 0
+    for m in (150, 180, 210, 240):
+        for r in range(10, 2 * nside, 37):          # cap + belt rings
+            beta = g.theta[r]
+            for l in (m, m + 5, m + 16):
+                if l > lmax:
+                    continue
+                ref = jac_lam(l, m, beta)
+                if abs(ref) < 1e-12:                 # node / flushed region
+                    continue
+                assert abs(tab[r, l, m] - ref) <= 1e-9 * abs(ref), \
+                    (m, r, l, tab[r, l, m], ref)
+                l0 = (l // 32) * 32
+                got = chunks[l0][l - l0, r, m]
+                assert abs(got - ref) <= 1e-9 * abs(ref), \
+                    (m, r, l, got, ref)
+                checked += 1
+    assert checked >= 30
