@@ -38,13 +38,23 @@ def _pad_axis(x, axis: int, mult: int):
     return jnp.pad(x, widths)
 
 
+def _batch_specs(nbatch: int, batch_axis):
+    """Leading batch-dim specs: dim 0 optionally sharded on a second mesh
+    axis (the P3 band axis of a band x sphere 2-D mesh)."""
+    if batch_axis is None:
+        return [None] * nbatch
+    assert nbatch >= 1, "batch_axis requires a leading batch dimension"
+    return [batch_axis] + [None] * (nbatch - 1)
+
+
 def sharded_alm2map_rings(plan: SHTPlan, alm: jnp.ndarray, mesh: Mesh,
-                          axis: str = "sphere"):
+                          axis: str = "sphere", batch_axis: str | None = None):
     """Y with the single transform sharded across `axis`.
 
     alm: (..., nl, nm) complex (replicated input is fine; it is resharded).
     Returns padded-ring maps (..., nring_pad, pmax) sharded on the ring
-    axis (invalid slots zero).
+    axis (invalid slots zero). With `batch_axis`, the leading batch dim
+    (band) is additionally sharded on that mesh axis (2-D band x sphere).
     """
     ndev = mesh.shape[axis]
     nl = plan.lmax + 1
@@ -62,8 +72,8 @@ def sharded_alm2map_rings(plan: SHTPlan, alm: jnp.ndarray, mesh: Mesh,
     synth_Vh = _pad_axis(plan.synth_Vh, 0, ndev)
     synth_B = _pad_axis(plan.synth_B, 0, ndev)
 
-    spec_m = P(*([None] * (alm.ndim - 1) + [axis]))
-    spec_ring = P(*([None] * (alm.ndim - 2) + [axis, None]))
+    spec_m = P(*(_batch_specs(alm.ndim - 1, batch_axis) + [axis]))
+    spec_ring = P(*(_batch_specs(alm.ndim - 2, batch_axis) + [axis, None]))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(spec_m, P(None, None, axis), P(None, axis),
@@ -112,7 +122,8 @@ def map_to_rings(plan: SHTPlan, maps: jnp.ndarray, mult: int) -> jnp.ndarray:
 
 def sharded_alm2map_spin2_rings(plan: SHTPlan, alm_E: jnp.ndarray,
                                 alm_B: jnp.ndarray, mesh: Mesh,
-                                axis: str = "sphere"):
+                                axis: str = "sphere",
+                                batch_axis: str | None = None):
     """Spin-2 Y sharded across `axis`: (E, B) alms -> complex polarization
     P = Q + iU in the padded-ring layout (ring-sharded).
 
@@ -139,8 +150,8 @@ def sharded_alm2map_spin2_rings(plan: SHTPlan, alm_E: jnp.ndarray,
     synth_B = _pad_axis(plan.synth_B, 0, ndev)
 
     nb = alm_E.ndim - 2
-    spec_m = P(*([None] * (nb + 1) + [axis]))
-    spec_ring = P(*([None] * nb + [axis, None]))
+    spec_m = P(*(_batch_specs(nb + 1, batch_axis) + [axis]))
+    spec_ring = P(*(_batch_specs(nb, batch_axis) + [axis, None]))
 
     def _leg(a, par, tab_n, tab_s):
         Fn = jnp.einsum("...lm,rlm->...rm", a, tab_n)
@@ -181,7 +192,8 @@ def sharded_alm2map_spin2_rings(plan: SHTPlan, alm_E: jnp.ndarray,
 
 
 def sharded_spin2_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
-                                axis: str = "sphere", ndim_batch: int = 1):
+                                axis: str = "sphere", ndim_batch: int = 1,
+                                batch_axis: str | None = None):
     """Adjoint of sharded_alm2map_spin2_rings: padded-ring complex
     P = Q + iU (ring-sharded) -> (E_hat, B_hat) m-sharded.
 
@@ -205,8 +217,8 @@ def sharded_spin2_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
                           ).astype(plan.rdtype)
 
     nb = ndim_batch
-    spec_ring = P(*([None] * nb + [axis, None]))
-    spec_m = P(*([None] * nb + [None, axis]))
+    spec_ring = P(*(_batch_specs(nb, batch_axis) + [axis, None]))
+    spec_m = P(*(_batch_specs(nb, batch_axis) + [None, axis]))
 
     def _leg_adj(F, par, tab_n, tab_s):
         Fn = F[..., : plan.nh, :]
@@ -250,7 +262,8 @@ def sharded_spin2_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
 
 
 def sharded_alm2map_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
-                                  axis: str = "sphere", ndim_batch: int = 1):
+                                  axis: str = "sphere", ndim_batch: int = 1,
+                                  batch_axis: str | None = None):
     """Yt with the transform sharded across `axis` (adjoint of
     sharded_alm2map_rings): padded-ring maps (ring-sharded) -> alm
     (m-sharded output, replicate with jax.device_put if needed).
@@ -270,8 +283,8 @@ def sharded_alm2map_adjoint_rings(plan: SHTPlan, fr: jnp.ndarray, mesh: Mesh,
     ana_B = _pad_axis(_pad_axis(plan.ana_B, 0, ndev), 1, ndev)
 
     nb = ndim_batch
-    spec_ring = P(*([None] * nb + [axis, None]))
-    spec_m = P(*([None] * nb + [None, axis]))
+    spec_ring = P(*(_batch_specs(nb, batch_axis) + [axis, None]))
+    spec_m = P(*(_batch_specs(nb, batch_axis) + [None, axis]))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(spec_ring, P(None, None, axis), P(None, axis),

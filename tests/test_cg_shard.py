@@ -59,6 +59,42 @@ def test_sharded_operator_matches_local():
     assert np.abs(got - ref).max() < 1e-10 * np.abs(ref).max()
 
 
+def _mesh2d():
+    dev = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(dev, axis_names=("band", "sphere"))
+
+
+def test_2d_band_sphere_operator_matches_local():
+    sys, plan = _system(nside=8, lmax=16, nband=3)  # 3 bands over 2 groups
+    mesh = _mesh2d()
+    rng = np.random.default_rng(3)
+    nl = plan.lmax + 1
+    u = rng.standard_normal((2, 1, nl, nl)) \
+        + 1j * rng.standard_normal((2, 1, nl, nl))
+    u = jnp.asarray(u) * sys.tri
+    ref = np.asarray(amp.apply_A(sys, plan, u))
+    with mesh:
+        inv2_r, _, _ = cg_shard.ring_layout_invN(sys, plan, mesh)
+        got = np.asarray(cg_shard.apply_A_sharded(
+            sys, plan, mesh, inv2_r, u, band_axis="band"))
+    assert np.abs(got - ref).max() < 1e-10 * np.abs(ref).max()
+
+
+def test_2d_band_sphere_cg_matches_local():
+    sys, plan = _system(nside=16, lmax=32, nband=4)
+    mesh = _mesh2d()
+    a_loc, _ = amp.sample_amplitudes(sys, plan, key=None, tol=1e-11,
+                                     maxiter=400)
+    with mesh:
+        a_sh, res_sh = cg_shard.sample_amplitudes_sharded(
+            sys, plan, mesh, key=None, tol=1e-11, maxiter=400,
+            band_axis="band")
+        a_sh = np.asarray(a_sh)
+    assert bool(res_sh.converged)
+    scale = np.abs(np.asarray(a_loc)).max()
+    assert np.abs(a_sh - np.asarray(a_loc)).max() < 1e-8 * scale
+
+
 def test_sharded_cg_polarized_matches_local():
     nside, lmax, nband, ncomp = 8, 16, 2, 1
     plan = sht.get_plan(nside, lmax, spin2=True)
