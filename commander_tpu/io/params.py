@@ -147,6 +147,7 @@ class ComponentParamConfig:
     cl_beta_def: tuple
     cl_lpivot: int
     mask: Optional[str]
+    sed_template: Optional[str] = None    # COMP_SED_TEMPLATE (spindust/physdust)
     indices: dict = dataclasses.field(default_factory=dict)  # name -> (default, prior_mean, prior_rms, min, max, sample)
 
 
@@ -170,6 +171,7 @@ class RunConfig:
     bands: list
     comps: list
     smoothing_scales: list = dataclasses.field(default_factory=list)
+    almsamp_pixreg: bool = False          # ALMSAMP_PIXREG
     resample_cmb: bool = False            # RESAMPLE_CMB
     numsamp_per_resamp: int = 1           # NUMSAMP_PER_RESAMP
     first_samp_resamp: int = 1            # FIRST_SAMPLE_FOR_CMB_RESAMP
@@ -242,13 +244,32 @@ def lower_params(p: Params) -> RunConfig:
             lt = p.get_indexed(f"COMP_{name}_INT_LNLTYPE", i, "chisq")
             ltp = p.get_indexed(f"COMP_{name}_POL_LNLTYPE", i, None)
             pt = p.get_indexed(f"COMP_{name}_POLTYPE", i, 1)
+            # pixel-region keys (COMP_<PAR>_T_NUM_PIXREG / _FIX_PIXREG /
+            # _PIXREG_PRIORS, COMP_<PAR>_PIXREG_MAP;
+            # comm_param_mod.f90:807-848)
+            npr = p.get_indexed(f"COMP_{name}_T_NUM_PIXREG", i,
+                                p.get_indexed(f"COMP_{name}_NUM_PIXREG",
+                                              i, 0))
+            prmap = p.get_indexed(f"COMP_{name}_PIXREG_MAP", i)
+            prpri = p.get_indexed(f"COMP_{name}_T_PIXREG_PRIORS", i,
+                                  p.get_indexed(
+                                      f"COMP_{name}_PIXREG_PRIORS", i))
+            prfix = p.get_indexed(f"COMP_{name}_T_FIX_PIXREG", i,
+                                  p.get_indexed(
+                                      f"COMP_{name}_FIX_PIXREG", i))
             indices[name.lower()] = dict(default=default, prior_mean=pm,
                                          prior_rms=pr, low=lo, high=hi,
                                          smoothing_scale=int(ss or 0),
                                          lnl_type=str(lt or "chisq"),
                                          lnl_type_pol=str(ltp) if ltp
                                          else str(lt or "chisq"),
-                                         poltype=int(pt or 1))
+                                         poltype=int(pt or 1),
+                                         num_pixreg=int(npr or 0),
+                                         pixreg_map=prmap,
+                                         pixreg_priors=str(prpri)
+                                         if prpri is not None else None,
+                                         fix_pixreg=str(prfix)
+                                         if prfix is not None else None)
         comps.append(ComponentParamConfig(
             label=str(label), ctype=ctype,
             cclass=str(p.get_indexed("COMP_CLASS", i, "diffuse")),
@@ -268,6 +289,7 @@ def lower_params(p: Params) -> RunConfig:
                          p.get_indexed("COMP_CL_DEFAULT_BETA_B", i, 0.0)),
             cl_lpivot=int(p.get_indexed("COMP_CL_L_PIVOT", i, 50) or 50),
             mask=p.get_indexed("COMP_MASK", i),
+            sed_template=p.get_indexed("COMP_SED_TEMPLATE", i),
             indices=indices,
         ))
 
@@ -287,6 +309,7 @@ def lower_params(p: Params) -> RunConfig:
         sample_specind=bool(p.get("SAMPLE_SPECTRAL_INDICES", False)),
         sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),
         enable_tod=bool(p.get("ENABLE_TOD_ANALYSIS", False)),
+        almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
         resample_cmb=bool(p.get("RESAMPLE_CMB", False)),
         numsamp_per_resamp=int(p.get("NUMSAMP_PER_RESAMP", 1)),
         first_samp_resamp=int(p.get("FIRST_SAMPLE_FOR_CMB_RESAMP", 1)),

@@ -100,6 +100,20 @@ def set_spindust_template(nu, j_emission, peak_hz):
     _SPD_PEAK = float(peak_hz)
 
 
+def load_spindust_template(path):
+    """Load a SpDust2-style two-column ASCII emissivity file (nu [GHz],
+    j_nu; '#' comments) and install it — the reference's COMP_SED_TEMPLATE
+    read (read_spectrum, comm_utils.f90:619-677: GHz -> Hz) with the native
+    peak taken at the emissivity maximum
+    (comm_spindust_comp_mod.f90:128-133)."""
+    tbl = np.loadtxt(path, comments="#")
+    nu = np.asarray(tbl[:, 0], np.float64) * 1e9
+    j = np.asarray(tbl[:, 1], np.float64)
+    order = np.argsort(nu)
+    nu, j = nu[order], j[order]
+    set_spindust_template(nu, j, nu[int(np.argmax(j))])
+
+
 def _spd_interp(lognu):
     return jnp.interp(lognu, jnp.asarray(_SPD_LOGNU), jnp.asarray(_SPD_LOGJ),
                       left=-300.0, right=-300.0)
@@ -114,9 +128,10 @@ def sed_spindust(nu, nu_ref, nu_p):
     shift = jnp.log(_SPD_PEAK) - jnp.log(nu_p)
     num = _spd_interp(jnp.log(nu) + shift)
     den = _spd_interp(jnp.log(nu_ref) + shift)
-    return jnp.square(nu_ref / nu) * jnp.exp(num - den) * jnp.square(
-        jnp.exp(jnp.log(nu) + shift) / jnp.exp(jnp.log(nu_ref) + shift)) ** 0 \
-        * jnp.square(nu / nu_ref) * jnp.square(nu_ref / nu)
+    # stored logJ = log(j/nu^2), so the (nu_ref/nu)^2 intensity->RJ factor
+    # of the reference formula is already inside the difference:
+    # exp(num-den) = j(s nu)/j(s nu_ref) * (nu_ref/nu)^2
+    return jnp.exp(num - den)
 
 
 def sed_spindust2(nu, nu_ref, nu_p, alpha):

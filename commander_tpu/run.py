@@ -60,6 +60,16 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     from .sphere.alm import random_alm_white, triangle_mask
     from .model.cl import apply_sqrtS
 
+    # install tabulated SED templates before the mixing matrix is built
+    # (COMP_SED_TEMPLATE; read_spectrum in comm_utils.f90:619-677)
+    for c in cfg.comps:
+        if c.cclass == "diffuse" and c.ctype in ("spindust", "spindust2") \
+                and getattr(c, "sed_template", None):
+            path = os.path.join(data_dir or ".", str(c.sed_template))
+            if os.path.exists(path):
+                from .model import seds
+                seds.load_spindust_template(path)
+
     diffuse = [_comp_to_diffuse(c) for c in cfg.comps
                if c.cclass == "diffuse" and c.ctype not in
                ("md", "cmb_relquad", "template")]
@@ -320,9 +330,38 @@ def _rebuild_mixing(diffuse, bps, thetas, deltas, sys, thetas_pol=None,
                       F_pix=jnp.asarray(F_pix, sys.data.dtype))
 
 
+def _pixreg_ids(plan, info, npr):
+    """Region id per pixel for pixel-region index sampling.
+
+    Sources, in order (reference: COMP_*_PIXREG_MAP and the nside-based
+    region init in initPixreg, comm_diffuse_comp_mod.f90:487-534):
+    a region-map FITS file when given; HEALPix coarse pixels when npr is
+    12*n^2; equal-count RING latitude bands otherwise."""
+    import os
+
+    path = info.get("pixreg_map")
+    npix = 12 * plan.nside ** 2
+    if path and os.path.exists(str(path)):
+        from .io.fits import read_map
+        m = np.asarray(read_map(str(path)))
+        m = m[0] if m.ndim > 1 else m
+        ids = np.asarray(np.rint(m), np.int32)
+        return np.clip(ids - ids.min(), 0, npr - 1)
+    n = int(np.sqrt(npr / 12.0)) if npr >= 12 else 0
+    if n >= 1 and 12 * n * n == npr:
+        from .sphere.healpix import udgrade_indices
+        idx = np.asarray(udgrade_indices(plan.nside, n))   # (npr, ratio)
+        ids = np.empty(npix, np.int32)
+        for r in range(npr):
+            ids[idx[r]] = r
+        return ids
+    return np.minimum((np.arange(npix, dtype=np.int64) * npr) // npix,
+                      npr - 1).astype(np.int32)
+
+
 def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                   deltas=None, ind_alms=None, pixind=False, ind_steps=None,
-                  thetas_pol=None):
+                  thetas_pol=None, ind_regs=None):
     """Nonlinear (spectral-index) Gibbs step + mixing-matrix rebuild.
 
     Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
@@ -418,18 +457,52 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
             lmax_ind = pcfg.lmax_ind
             if lmax_ind and lmax_ind > 0:
                 L = int(min(lmax_ind, plan.lmax))
-                t_alm = ind_alms.get((ci, which))
-                if t_alm is None:
-                    t_alm = jnp.zeros((L + 1, L + 1), state.a.dtype)
-                    t_alm = t_alm.at[0, 0].set(
-                        float(np.mean(thetas[ci][which]))
-                        * np.sqrt(4.0 * np.pi))
                 step0 = 0.05 if ind_steps is None else                     ind_steps.setdefault((ci, which), 0.05)
                 nst = 3
-                t_alm, th_map, n_acc = si.sample_specind_alm(
-                    k, comp, bps, sicfg, plan, res, amp_pix, sys.inv_rms2,
-                    tuple(thetas[ci]), t_alm, which=which, lmax_ind=L,
-                    step=step0, nsteps=nst)
+                npr = int(info.get("num_pixreg", 0) or 0)
+                if getattr(cfg, "almsamp_pixreg", False) and npr > 0 \
+                        and ind_regs is not None:
+                    # alm-MH over pixel-region means (ALMSAMP_PIXREG;
+                    # comm_nonlin_mod.f90:420-607)
+                    rop = _pixreg_ids(plan, info, npr)
+                    t_reg = ind_regs.get((ci, which))
+                    if t_reg is None:
+                        t_reg = jnp.full((npr,),
+                                         float(np.mean(thetas[ci][which])))
+                    prpri = info.get("pixreg_priors")
+                    priors = (np.asarray([float(v) * u for v in
+                                          str(prpri).split(",")][:npr])
+                              if prpri else None)
+                    prfix = info.get("fix_pixreg")
+                    fix = None
+                    if prfix and str(prfix).lower() not in ("none", ""):
+                        fx = np.zeros(npr, bool)
+                        for v in str(prfix).split(","):
+                            fx[int(v) - 1] = True
+                        fix = fx
+                    fpp = 0.0
+                    ss_id2 = int(info.get("smoothing_scale", 0) or 0)
+                    if ss_id2 and ss_id2 <= len(scales):
+                        fpp = scales[ss_id2 - 1].get("fwhm_postproc",
+                                                     0.0) or 0.0
+                    t_reg, th_map, t_alm, n_acc = si.sample_specind_alm_pixreg(
+                        k, comp, bps, sicfg, plan, res, amp_pix,
+                        sys.inv_rms2, tuple(thetas[ci]), t_reg, rop,
+                        which=which, lmax_ind=L, step=step0, nsteps=nst,
+                        fwhm_postproc=float(fpp), fix_reg=fix,
+                        reg_priors=priors)
+                    ind_regs[(ci, which)] = t_reg
+                else:
+                    t_alm = ind_alms.get((ci, which))
+                    if t_alm is None:
+                        t_alm = jnp.zeros((L + 1, L + 1), state.a.dtype)
+                        t_alm = t_alm.at[0, 0].set(
+                            float(np.mean(thetas[ci][which]))
+                            * np.sqrt(4.0 * np.pi))
+                    t_alm, th_map, n_acc = si.sample_specind_alm(
+                        k, comp, bps, sicfg, plan, res, amp_pix,
+                        sys.inv_rms2, tuple(thetas[ci]), t_alm, which=which,
+                        lmax_ind=L, step=step0, nsteps=nst)
                 if ind_steps is not None:
                     # adaptive step length toward ~50% acceptance (the
                     # reference's proposal-length tuning in
@@ -646,6 +719,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     thetas_pol = {}          # (ci, j) -> per-Stokes-group values (POLTYPE>=2)
     ind_alms = {}
     ind_steps = {}
+    ind_regs = {}
     gains = np.ones(len(cfg.bands))
     bp_deltas = np.zeros(len(cfg.bands))
     if tod_blocks and any(b.sample_bandpass for b in cfg.bands):
@@ -755,7 +829,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                                               pixind=pixind,
                                               ind_steps=ind_steps,
                                               thetas_pol=thetas_pol
-                                              if pol else None)
+                                              if pol else None,
+                                              ind_regs=ind_regs)
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---

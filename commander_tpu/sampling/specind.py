@@ -218,6 +218,75 @@ def sample_specind_alm(key, comp, bps, cfg: SpecIndConfig, plan, res,
     return t, to_map(t), n_acc
 
 
+def sample_specind_alm_pixreg(key, comp, bps, cfg: SpecIndConfig, plan, res,
+                              amp_pix, inv_rms2, theta_other, theta_reg,
+                              region_of_pix, which: int = 0,
+                              lmax_ind: int = 2, step: float = 0.05,
+                              nsteps: int = 3, fwhm_postproc: float = 0.0,
+                              fix_reg=None, reg_priors=None):
+    """alm-space MH with PIXEL-REGION means (ALMSAMP_PIXREG = .true.).
+
+    Reference: the region branch of sample_specind_alm
+    (comm_nonlin_mod.f90:420-607): proposals perturb the per-region values
+    theta_pixreg (frozen regions via fix_pixreg stay put), the field is the
+    piecewise-constant region map optionally smoothed with the postproc
+    beam, thresholded on the uniform prior range, and the stored alms are
+    its YtW; the MH chisq adds a Gaussian prior per region centered on
+    pixreg_priors (:544-552).
+
+    theta_reg: (R,) current region values; region_of_pix: (P,) int32.
+    Returns (theta_reg', theta_map', theta_alm', n_accept).
+    """
+    import numpy as np
+
+    from ..sphere import sht
+
+    nl_i = lmax_ind + 1
+    rop = jnp.asarray(region_of_pix)
+    fix = (jnp.zeros(theta_reg.shape, bool) if fix_reg is None
+           else jnp.asarray(fix_reg, bool))
+    priors = (jnp.full(theta_reg.shape, cfg.prior_mean
+                       if cfg.prior_mean is not None else 0.0)
+              if reg_priors is None else jnp.asarray(reg_priors))
+
+    def to_field(vals):
+        th = vals[rop]
+        if fwhm_postproc and fwhm_postproc > 0:
+            th = sht.smooth_map(plan, th, fwhm_postproc)
+        return jnp.clip(th, cfg.grid_min, cfg.grid_max)
+
+    @jax.jit
+    def lnL(vals):
+        theta_map = to_field(vals)
+        th = tuple(theta_map if i == which else v
+                   for i, v in enumerate(theta_other))
+        Fg = jnp.stack([mixing_element(comp, bp, th) for bp in bps])
+        model = Fg[:, None, :] * amp_pix[None]
+        lp = -0.5 * jnp.sum(inv_rms2 * jnp.square(res - model))
+        if cfg.prior_std is not None:
+            lp = lp - 0.5 * jnp.sum(
+                jnp.square((vals - priors) / cfg.prior_std))
+        return lp
+
+    t = jnp.asarray(theta_reg)
+    ll = lnL(t)
+    n_acc = 0
+    for s in range(nsteps):
+        key, k1, k2 = jax.random.split(key, 3)
+        delta = step * jax.random.normal(k1, t.shape, t.dtype)
+        prop = jnp.where(fix, t, t + delta)
+        # out-of-range proposals are rejected outright (:584-588)
+        if bool(jnp.any((prop < cfg.grid_min) | (prop > cfg.grid_max))):
+            continue
+        ll_p = lnL(prop)
+        if float(jnp.log(jax.random.uniform(k2, ()))) < float(ll_p - ll):
+            t, ll = prop, ll_p
+            n_acc += 1
+    theta_map = to_field(t)
+    t_alm = sht.map2alm(plan, theta_map)[..., :nl_i, :nl_i]
+    return t, theta_map, t_alm, n_acc
+
+
 def sample_specind_regions(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
                            inv_rms2, theta_other, region_of_pix, nregion,
                            which: int = 0):

@@ -156,3 +156,27 @@ def test_poltype_split_specind(tmp_path_factory):
         assert np.all(np.isfinite(pol_vals))
         assert np.all(np.isfinite(np.asarray(synch["specind"])))
         assert np.isfinite(float(s["aux"]["chisq"]))
+
+
+def test_almsamp_pixreg_mode(tmp_path_factory):
+    # ALMSAMP_PIXREG: the alm-field sampler runs over pixel-region means
+    # (the region branch of sample_specind_alm, comm_nonlin_mod.f90:420-607)
+    cfg = _cfg()
+    cfg.sample_specind = True
+    cfg.almsamp_pixreg = True
+    assert any(c.lmax_ind and c.lmax_ind > 0 for c in cfg.comps
+               if c.cclass == "diffuse")
+    for c in cfg.comps:
+        if c.cclass == "diffuse" and c.lmax_ind and c.lmax_ind > 0:
+            for name in c.indices:
+                c.indices[name]["num_pixreg"] = 4
+                c.indices[name]["fix_pixreg"] = "2"
+    out = str(tmp_path_factory.mktemp("chains_pixreg"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=2,
+                            outdir=out, verbose=False)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(2)
+        has_map = any(k.startswith("theta_map")
+                      for comp in s["comps"].values() for k in comp)
+        assert has_map
+        assert np.isfinite(float(s["aux"]["chisq"]))

@@ -147,3 +147,57 @@ def test_bandpass_unit_scales_and_sz():
     assert len(nu_t) == len(nu) - 10
     nu_t, tau_t = trim_profile(nu, tau2, "LFI")
     assert len(nu_t) == len(nu)
+
+
+def test_spindust_sed_matches_reference_formula():
+    """sed_spindust == the reference evalSED (comm_spindust_comp_mod.f90:
+    178-184): j(s nu)/j(s nu_ref) * (nu_ref/nu)^2 with s = nu_p0/nu_p."""
+    import numpy as np
+    from commander_tpu.model import seds
+
+    saved = (seds._SPD_LOGNU, seds._SPD_LOGJ, seds._SPD_PEAK)
+    try:
+        nu_t = np.geomspace(0.1e9, 3000e9, 800)
+        j_t = np.exp(-0.5 * ((np.log(nu_t) - np.log(30e9)) / 0.7) ** 2)
+        seds.set_spindust_template(nu_t, j_t, 30e9)
+
+        def ref_formula(nu, nu_ref, nu_p):
+            s = 30e9 / nu_p
+            f = lambda x: np.interp(np.log(x), np.log(nu_t), np.log(j_t))
+            return np.exp(f(s * nu) - f(s * nu_ref)) * (nu_ref / nu) ** 2
+
+        nu_ref = 22e9
+        for nu_p in (18e9, 30e9, 45e9):
+            for nu in (10e9, 22e9, 30e9, 60e9, 90e9):
+                got = float(seds.sed_spindust(nu, nu_ref, nu_p))
+                want = ref_formula(nu, nu_ref, nu_p)
+                assert abs(got - want) < 1e-4 * abs(want) + 1e-12
+        got2 = float(seds.sed_spindust2(60e9, nu_ref, 30e9, 1.5))
+        want2 = ref_formula(60e9, nu_ref, 30e9) * (60e9 / nu_ref) ** 1.5
+        assert abs(got2 - want2) < 1e-4 * abs(want2)
+    finally:
+        seds._SPD_LOGNU, seds._SPD_LOGJ, seds._SPD_PEAK = saved
+
+
+def test_load_spindust_template_ascii(tmp_path):
+    """ASCII SpDust2-format loader: GHz -> Hz, peak at max, '#' comments."""
+    import numpy as np
+    from commander_tpu.model import seds
+
+    saved = (seds._SPD_LOGNU, seds._SPD_LOGJ, seds._SPD_PEAK)
+    try:
+        nu_ghz = np.geomspace(0.5, 500, 200)
+        j = np.exp(-0.5 * ((np.log(nu_ghz) - np.log(25.0)) / 0.5) ** 2)
+        f = tmp_path / "spdust2_cnm.dat"
+        lines = ["# SpDust2 CNM emissivity\n"] + [
+            f"{a:.6e}  {b:.6e}\n" for a, b in zip(nu_ghz, j)]
+        f.write_text("".join(lines))
+        seds.load_spindust_template(str(f))
+        assert abs(seds._SPD_PEAK - nu_ghz[np.argmax(j)] * 1e9) \
+            < 1e-5 * seds._SPD_PEAK
+        # SED at the native peak with nu_p at the peak = 1 at nu_ref = peak
+        v = float(seds.sed_spindust(seds._SPD_PEAK, seds._SPD_PEAK,
+                                    seds._SPD_PEAK))
+        assert abs(v - 1.0) < 1e-5
+    finally:
+        seds._SPD_LOGNU, seds._SPD_LOGJ, seds._SPD_PEAK = saved

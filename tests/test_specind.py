@@ -176,3 +176,66 @@ def test_prior_lnltype_samples_prior():
     b = np.asarray(beta)
     assert abs(b.mean() + 2.5) < 0.05
     assert abs(b.std() - 0.3) < 0.05
+
+
+def test_regions_specind_recovers_per_region_truth():
+    # two regions with different beta; the region sampler must find both
+    npix = 768  # nside 8
+    rng = np.random.default_rng(3)
+    comp = DiffuseComponent("synch", "power_law", 30 * GHZ, theta0=(-3.0,))
+    bps = [delta_bandpass(f * GHZ, unit="uK_RJ") for f in (10, 23, 33, 44, 70)]
+    region = (np.arange(npix) >= npix // 2).astype(np.int32)
+    beta_pix = np.where(region == 0, -3.2, -2.6)
+    amp = jnp.asarray(np.abs(rng.standard_normal((1, npix))) * 50 + 30)
+    F_true = jnp.stack([mixing_element(comp, bp, (jnp.asarray(beta_pix),))
+                        for bp in bps])
+    data = F_true[:, None, :] * amp[None] \
+        + 0.05 * rng.standard_normal((len(bps), 1, npix))
+    inv_rms2 = jnp.full((len(bps), 1, npix), 1.0 / 0.05 ** 2)
+    cfg = specind.SpecIndConfig(grid_min=-4.0, grid_max=-2.0, ngrid=256)
+    vals, theta_map = specind.sample_specind_regions(
+        jax.random.PRNGKey(4), comp, bps, cfg, jnp.asarray(data), amp,
+        inv_rms2, (-3.0,), jnp.asarray(region), 2, which=0)
+    v = np.asarray(vals)
+    assert abs(v[0] + 3.2) < 0.01
+    assert abs(v[1] + 2.6) < 0.01
+    assert np.allclose(np.asarray(theta_map), v[region])
+
+
+def test_alm_pixreg_mh_moves_toward_truth_and_respects_fixed():
+    from commander_tpu.sphere import sht
+
+    nside, lmax = 8, 16
+    npix = 12 * nside * nside
+    plan = sht.get_plan(nside, lmax)
+    rng = np.random.default_rng(5)
+    comp = DiffuseComponent("synch", "power_law", 30 * GHZ, theta0=(-3.0,))
+    bps = [delta_bandpass(f * GHZ, unit="uK_RJ") for f in (10, 23, 33, 44)]
+    region = (np.arange(npix) * 3 // npix).astype(np.int32)  # 3 lat bands
+    beta_true = np.asarray([-3.3, -3.0, -2.7])
+    beta_pix = beta_true[region]
+    amp = jnp.asarray(np.abs(rng.standard_normal((1, npix))) * 50 + 30)
+    F_true = jnp.stack([mixing_element(comp, bp, (jnp.asarray(beta_pix),))
+                        for bp in bps])
+    data = F_true[:, None, :] * amp[None] \
+        + 0.5 * rng.standard_normal((len(bps), 1, npix))
+    inv_rms2 = jnp.full((len(bps), 1, npix), 1.0 / 0.5 ** 2)
+    cfg = specind.SpecIndConfig(grid_min=-4.0, grid_max=-2.0, ngrid=64,
+                                prior_mean=-3.0, prior_std=1.0)
+    t0 = jnp.asarray([-3.0, -3.0, -3.0])
+    fix = np.asarray([False, True, False])
+    t = t0
+    key = jax.random.PRNGKey(6)
+    for s in range(20):
+        key, k = jax.random.split(key)
+        t, th_map, t_alm, n_acc = specind.sample_specind_alm_pixreg(
+            k, comp, bps, cfg, plan, jnp.asarray(data), amp, inv_rms2,
+            (-3.0,), t, region, which=0, lmax_ind=2, step=0.03, nsteps=2,
+            fix_reg=fix)
+    v = np.asarray(t)
+    assert v[1] == -3.0                     # frozen region never moves
+    assert abs(v[0] + 3.3) < 0.1            # free regions move to truth
+    assert abs(v[2] + 2.7) < 0.1
+    assert t_alm.shape == (3, 3)
+    # theta map is the piecewise-constant region field
+    assert np.allclose(np.asarray(th_map), v[region], atol=1e-6)
