@@ -149,6 +149,7 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
              dtype: str = "float64", weights: str = "ring",
              tables: bool = True,
              legendre_backend: str = "xla",
+             otf_chunk: int = 64,
              precision: str = "float32") -> SHTPlan:
     """Build (host) and cache the SHT plan for one resolution.
 
@@ -266,7 +267,7 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     if not tables:
         from .sht_otf import legendre_otf
         otf0 = legendre_otf(nside, lmax, 0, dtype=dtype,
-                            chunk=min(64, lmax + 1), mmax=mmax,
+                            chunk=min(otf_chunk, lmax + 1), mmax=mmax,
                             backend=legendre_backend)
 
     dev = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(rdtype)))

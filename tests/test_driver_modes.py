@@ -180,3 +180,21 @@ def test_almsamp_pixreg_mode(tmp_path_factory):
                       for comp in s["comps"].values() for k in comp)
         assert has_map
         assert np.isfinite(float(s["aux"]["chisq"]))
+
+
+def test_pixreg_ids_modes():
+    from commander_tpu.run import _pixreg_ids
+    from commander_tpu.sphere import sht
+
+    plan = sht.get_plan(8, 16)
+    npix = 12 * 8 * 8
+    # coarse-pixel mode: npr = 12*2^2 = 48 -> every fine pixel maps to its
+    # nside-2 parent; each region has npix/48 pixels
+    ids = _pixreg_ids(plan, {}, 48)
+    assert ids.shape == (npix,)
+    assert ids.min() == 0 and ids.max() == 47
+    assert np.all(np.bincount(ids, minlength=48) == npix // 48)
+    # latitude-band fallback: npr = 5 equal-count bands in RING order
+    ids5 = _pixreg_ids(plan, {}, 5)
+    assert ids5.max() == 4
+    assert np.all(np.diff(ids5) >= 0)   # monotone in ring-ordered pixel index
