@@ -55,6 +55,12 @@ class Bandpass:
     nu: np.ndarray
     tau: np.ndarray
     unit: str = "uK_cmb"
+    # reference profile family (comm_bp_mod.f90:99-116). Determines what
+    # the stored tau responds to: RJ brightness temperature
+    # (delta/tophat/LFI/WMAP/dame — radiometer conventions) or specific
+    # intensity (HFI_cmb/PSM_LFI/HFI_submm/DIRBE — bolometer conventions,
+    # where the RJ-temperature response picks up an extra nu^2).
+    profile_type: str = "tophat"
 
     @property
     def nu_c(self) -> float:
@@ -67,9 +73,16 @@ class Bandpass:
 
         Returns (nu_eff, w) with w such that the band response to a uK_RJ
         spectral shape S(nu) in the band's output unit is sum_k w_k S(nu_k).
-        Mirrors comm_bp_mod.f90 update_tau (:182-221) + SED2F:
-          uK_cmb band maps: F = int tau S_RJ dnu / int tau dBnu/dT|cmb_RJ dnu
-          uK_RJ:            F = int tau S_RJ dnu / int tau dnu
+        Mirrors comm_bp_mod.f90 update_tau (:182-292) + SED2F (:293-322):
+        the RJ-temperature response is rho = tau (RJ-defined profiles) or
+        tau (nu/nu_c)^2 (intensity-defined: the b'_RJ factor of the HFI /
+        DIRBE branches), and the band value in unit U is
+            F = int rho S dnu / int rho T_ref,U dnu
+        with T_ref,U the 1-U reference spectrum in uK_RJ:
+          uK_cmb:  dT_RJ/dT_cmb (update_tau's a / b'_nu ratios)
+          uK_RJ:   1
+          MJy/sr:  (nu_c/nu) / rj_to_MJysr(nu)   (IRAS color convention,
+                   the (nu_c/nu)^ind_iras normalization of HFI_submm/DIRBE)
         Shift models (comm_bp_mod.f90:194-204):
           additive_shift: nu -> nu + delta
           powlaw_tilt:    tau -> tau * (nu/nu_c)^delta  (delta dimensionless)
@@ -80,11 +93,15 @@ class Bandpass:
             tau = tau * (nu / self.nu_c) ** delta
         else:
             nu = jnp.asarray(self.nu) + delta
+        if self.profile_type in ("HFI_cmb", "PSM_LFI", "HFI_submm", "DIRBE"):
+            tau = tau * jnp.square(nu / self.nu_c)
         if self.nu.size == 1:
             # delta bandpass: evaluate at the (shifted) center frequency
             base = jnp.ones((1,))
         else:
+            # trapezoid quadrature (the reference's tsum)
             dnu = jnp.gradient(nu)
+            dnu = dnu.at[0].mul(0.5).at[-1].mul(0.5)
             base = tau * dnu
         scale = _UNIT_SCALE.get(self.unit)
         if scale is None:
@@ -94,8 +111,9 @@ class Bandpass:
         elif self.unit == "uK_RJ":
             norm = jnp.sum(base)
         else:   # MJy/sr
-            # IRAS convention: normalize against nu^-1 reference spectrum
-            norm = jnp.sum(base * rj_to_MJysr(nu) * (self.nu_c / nu))
+            # IRAS convention: reference spectrum I(nu) = 1 MJy/sr (nu_c/nu)
+            # expressed in uK_RJ
+            norm = jnp.sum(base * (self.nu_c / nu) / rj_to_MJysr(nu))
         return nu, base / norm
 
     def integrate(self, sed_vals, delta=0.0):
@@ -143,7 +161,8 @@ def trim_profile(nu: np.ndarray, tau: np.ndarray, profile_type: str):
 
 def delta_bandpass(nu0: float, unit: str = "uK_cmb") -> Bandpass:
     """Delta-function bandpass at nu0 (reference profile type 'delta')."""
-    return Bandpass(nu=np.array([nu0]), tau=np.array([1.0]), unit=unit)
+    return Bandpass(nu=np.array([nu0]), tau=np.array([1.0]), unit=unit,
+                    profile_type="delta")
 
 
 def tophat_bandpass(nu0: float, frac_width: float = 0.2, n: int = 65,

@@ -14,9 +14,16 @@ from .bandpass import Bandpass
 GHZ = 1e9
 
 
-def load_bandpass_hdf(path: str, det: str, unit: str = "uK_cmb") -> Bandpass:
-    """Read one detector's bandpass from a Commander instrument HDF file."""
+def load_bandpass_hdf(path: str, det: str, unit: str = "uK_cmb",
+                      profile_type: str = "LFI") -> Bandpass:
+    """Read one detector's bandpass from a Commander instrument HDF file.
+
+    profile_type selects the reference's per-experiment response and
+    trimming conventions (comm_bp_mod.f90:99-116); thresholds applied via
+    trim_profile."""
     import h5py
+
+    from .bandpass import trim_profile
 
     with h5py.File(path, "r") as f:
         nu = np.asarray(f[f"{det}/bandpassx"], np.float64)
@@ -24,7 +31,8 @@ def load_bandpass_hdf(path: str, det: str, unit: str = "uK_cmb") -> Bandpass:
     if nu.max() < 1e7:      # stored in GHz
         nu = nu * GHZ
     good = tau > 0
-    return Bandpass(nu=nu[good], tau=tau[good], unit=unit)
+    nu, tau = trim_profile(nu[good], tau[good], profile_type)
+    return Bandpass(nu=nu, tau=tau, unit=unit, profile_type=profile_type)
 
 
 def average_bandpass(bps: list[Bandpass], unit: str = "uK_cmb") -> Bandpass:
@@ -33,7 +41,8 @@ def average_bandpass(bps: list[Bandpass], unit: str = "uK_cmb") -> Bandpass:
     nu = bps[0].nu
     tau = np.mean([np.interp(nu, b.nu, b.tau, left=0, right=0) for b in bps],
                   axis=0)
-    return Bandpass(nu=nu, tau=tau, unit=unit)
+    return Bandpass(nu=nu, tau=tau, unit=unit,
+                    profile_type=bps[0].profile_type)
 
 
 def load_beam_bl_fits(path: str, lmax: int) -> np.ndarray:

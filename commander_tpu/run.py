@@ -87,11 +87,21 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
 
     bps = []
     for b in cfg.bands:
+        bpath = os.path.join(data_dir or ".", str(b.bandpassfile or ""))
         if b.bandpass_type in ("delta", "none") or b.bandpassfile is None:
             bps.append(delta_bandpass(b.nominal_freq_ghz * GHZ, unit=b.unit))
+        elif os.path.exists(bpath) and str(bpath).endswith((".h5", ".hdf5")):
+            # tabulated profile with the experiment's response/trimming
+            # conventions (BAND_BANDPASS_TYPE; comm_bp_mod.f90:99-116)
+            from .instrument.files import load_bandpass_hdf
+            bp = load_bandpass_hdf(bpath, det=b.label,
+                                   unit=b.unit,
+                                   profile_type=str(b.bandpass_type))
+            bps.append(bp)
         else:
-            bps.append(tophat_bandpass(b.nominal_freq_ghz * GHZ, 0.2,
-                                       unit=b.unit))
+            bp = tophat_bandpass(b.nominal_freq_ghz * GHZ, 0.2, unit=b.unit)
+            bps.append(dataclasses.replace(
+                bp, profile_type=str(b.bandpass_type)))
     F = np.asarray(mixing_matrix(diffuse, bps), dtype=dtype)
 
     pw = pixel_window(nside, lmax)

@@ -201,3 +201,41 @@ def test_load_spindust_template_ascii(tmp_path):
         assert abs(v - 1.0) < 1e-5
     finally:
         seds._SPD_LOGNU, seds._SPD_LOGJ, seds._SPD_PEAK = saved
+
+
+def test_bandpass_hfi_profile_matches_reference_formulas():
+    """Intensity-defined (HFI/DIRBE) bandpass weights reproduce the
+    reference's update_tau + SED2F recipes (comm_bp_mod.f90:200-322):
+      uK_cmb:  F = int tau b'_RJ S / int tau b'_cmb
+      MJy/sr:  F = int tau b'_RJ S / int tau (nu_c/nu)   (IRAS convention)
+    with b'_RJ = 2 k nu^2/c^2 and S in uK_RJ."""
+    import numpy as np
+    import jax.numpy as jnp
+    from commander_tpu.instrument.bandpass import (Bandpass, rj_to_MJysr,
+                                                   thermo_to_rj)
+
+    nu = np.linspace(300e9, 500e9, 401)          # uniform grid: trapezoid ok
+    tau = np.exp(-0.5 * ((nu - 400e9) / 40e9) ** 2)
+    S = (nu / 350e9) ** 1.7                      # some SED in uK_RJ
+    bprj = nu ** 2                               # b'_RJ up to constants
+
+    bp_cmb = Bandpass(nu=nu, tau=tau, unit="uK_cmb", profile_type="HFI_cmb")
+    got = float(bp_cmb.integrate(jnp.asarray(S)))
+    bcmb = bprj * np.asarray(thermo_to_rj(nu))   # b'_cmb / (2k/c^2)
+    want = np.trapezoid(tau * bprj * S, nu) / np.trapezoid(tau * bcmb, nu)
+    assert abs(got - want) < 1e-6 * abs(want)
+
+    bp_mjy = Bandpass(nu=nu, tau=tau, unit="MJy/sr", profile_type="DIRBE")
+    got = float(bp_mjy.integrate(jnp.asarray(S)))
+    nu_c = bp_mjy.nu_c
+    want = np.trapezoid(tau * np.asarray(rj_to_MJysr(nu)) * S, nu) \
+        / np.trapezoid(tau * (nu_c / nu), nu)
+    assert abs(got - want) < 1e-6 * abs(want)
+
+    # RJ-defined profile (LFI): reference LFI branch
+    # F = int tau S / int tau dT_RJ/dT_cmb
+    bp_lfi = Bandpass(nu=nu, tau=tau, unit="uK_cmb", profile_type="LFI")
+    got = float(bp_lfi.integrate(jnp.asarray(S)))
+    want = np.trapezoid(tau * S, nu) / np.trapezoid(
+        tau * np.asarray(thermo_to_rj(nu)), nu)
+    assert abs(got - want) < 1e-6 * abs(want)
