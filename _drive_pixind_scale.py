@@ -5,6 +5,8 @@ components at scale' roadmap item: tutorial config, dust beta AND T
 sampled per-pixel (COMP_LMAX_IND < 0, --pixind), pixel-mixing CG.
 """
 import time
+import jax
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from commander_tpu.io.params import Params, lower_params
 from commander_tpu.run import run

@@ -172,6 +172,7 @@ class RunConfig:
     comps: list
     smoothing_scales: list = dataclasses.field(default_factory=list)
     almsamp_pixreg: bool = False          # ALMSAMP_PIXREG
+    init_chain: 'Optional[str]' = None    # INIT_CHAIN / INIT_CHAIN01 ('file:samp')
     resample_cmb: bool = False            # RESAMPLE_CMB
     numsamp_per_resamp: int = 1           # NUMSAMP_PER_RESAMP
     first_samp_resamp: int = 1            # FIRST_SAMPLE_FOR_CMB_RESAMP
@@ -310,6 +311,9 @@ def lower_params(p: Params) -> RunConfig:
         sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),
         enable_tod=bool(p.get("ENABLE_TOD_ANALYSIS", False)),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
+        init_chain=(lambda v: None if v is None or str(v).lower() == "none"
+                    else str(v))(p.get("INIT_CHAIN",
+                                       p.get_indexed("INIT_CHAIN", 1))),
         resample_cmb=bool(p.get("RESAMPLE_CMB", False)),
         numsamp_per_resamp=int(p.get("NUMSAMP_PER_RESAMP", 1)),
         first_samp_resamp=int(p.get("FIRST_SAMPLE_FOR_CMB_RESAMP", 1)),

@@ -93,8 +93,25 @@ def _worker(pid: int, nproc: int, coordinator: str):
             a_sh, jax.device_put(a_ref, NamedSharding(mesh, P())))
         cg_err = float(jax.device_get(diff))
     assert cg_err < 1e-8, f"sharded CG mismatch across hosts: {cg_err}"
-    print(f"MULTIHOST OK pid={pid} sht_err={err:.2e} cg_err={cg_err:.2e}",
-          flush=True)
+
+    # 2-D band x sphere mesh across hosts: band groups span processes, the
+    # SHT of every band sharded within its group (P3 x P2)
+    err_2d = -1.0
+    ndev = len(jax.devices())
+    if ndev >= 4 and ndev % 2 == 0:
+        mesh2 = Mesh(np.asarray(jax.devices()).reshape(2, ndev // 2),
+                     ("band", "sphere"))
+        with mesh2:
+            syst_g = jax.device_put(syst, NamedSharding(mesh2, P()))
+            a_2d, _ = cg_shard.sample_amplitudes_sharded(
+                syst_g, plan, mesh2, key=None, tol=1e-10, maxiter=200,
+                band_axis="band")
+            diff = jax.jit(lambda x, y: jnp.max(jnp.abs(x - y)))(
+                a_2d, jax.device_put(a_ref, NamedSharding(mesh2, P())))
+            err_2d = float(jax.device_get(diff))
+        assert err_2d < 1e-8, f"2-D mesh CG mismatch across hosts: {err_2d}"
+    print(f"MULTIHOST OK pid={pid} sht_err={err:.2e} cg_err={cg_err:.2e} "
+          f"cg2d_err={err_2d:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -666,11 +666,44 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                   for s in range(meta["nmaps"])])
         for c in range(cl0.shape[0])])
     state = dataclasses.replace(state, cl_bins=jnp.asarray(binned0))
+    if prev is None and getattr(cfg, "init_chain", None):
+        # warm start from ANOTHER chain file: INIT_CHAIN = 'file.h5:samp'
+        # (initialize_from_chain + get_chainfile_and_samp,
+        # comm_signal_mod.f90:237-432)
+        spec0 = str(cfg.init_chain)
+        fpath, _, samp_s = spec0.rpartition(":")
+        if not fpath or not samp_s.isdigit():
+            fpath, samp_s = spec0, ""
+        if not os.path.isabs(fpath):
+            fpath = os.path.join(data_dir or ".", fpath)
+        if os.path.exists(fpath):
+            with ChainFile(fpath, "r") as ich:
+                isamp = int(samp_s) if samp_s else ich.last_sample()
+                prev = ich.read_sample(isamp) if isamp > 0 else None
+            if prev is not None:
+                status.update(f"warm start from {fpath}:{isamp}")
     if prev is not None:
-        a0 = np.stack([prev["comps"][d.name]["alm"] for d in diffuse])
+        nl_s = meta["lmax"] + 1
+        a_list = []
+        for d in diffuse:
+            a_c = prev["comps"][d.name]["alm"]
+            # alm_equal semantics: copy across differing lmax by
+            # pad/truncate of the (l, m) block (comm_map_mod.f90:1148)
+            S_c, nl_c, _ = a_c.shape
+            out = np.zeros((meta["nmaps"], nl_s, nl_s), a_c.dtype)
+            n = min(nl_c, nl_s)
+            out[: min(S_c, meta["nmaps"]), :n, :n] = \
+                a_c[: min(S_c, meta["nmaps"]), :n, :n]
+            a_list.append(out)
         state = dataclasses.replace(
-            state, a=jnp.asarray(a0),
-            key=jax.random.fold_in(key, first))
+            state, a=jnp.asarray(np.stack(a_list)),
+            key=jax.random.fold_in(key, max(first, 1)))
+        if "gain" in prev and len(prev["gain"]) == len(cfg.bands):
+            gains_init = np.asarray(prev["gain"])
+        else:
+            gains_init = None
+    else:
+        gains_init = None
     timer.stop("init")
     status.update("init done")
 
@@ -730,7 +763,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     ind_alms = {}
     ind_steps = {}
     ind_regs = {}
-    gains = np.ones(len(cfg.bands))
+    gains = gains_init if gains_init is not None \
+        else np.ones(len(cfg.bands))
     bp_deltas = np.zeros(len(cfg.bands))
     if tod_blocks and any(b.sample_bandpass for b in cfg.bands):
         from .tod.process import tod_chisq

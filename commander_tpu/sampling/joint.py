@@ -327,3 +327,30 @@ def sample_joint(sys, plan, ts=None, ps=None, key=None, tol=1e-8,
               dot=joint_dot, tol=tol, maxiter=maxiter)
     x = res.x
     return JointState(a=amp._sqrtS(sys, x.a), t=x.t, p=x.p), res
+
+
+def sample_template_amp_masked(key, res_map, T_map, inv_rms2, mask,
+                               prior_mean=0.0, prior_std=None,
+                               sample: bool = True):
+    """Masked single-template amplitude Gibbs draw OUTSIDE the CG.
+
+    Reference: sample_partialsky_tempamps (comm_signal_mod.f90:459-524) —
+    per template with a mask: mu = <T invN r>_mask / <T invN T>_mask,
+    sigma^2 = 1/<T invN T>_mask, combined with the Gaussian prior
+    (mu_p, sigma_p), then amp = mu + sigma N(0,1) in 'sample' mode (the
+    posterior mean in 'optimize' mode).
+
+    res_map/T_map/inv_rms2/mask: (..., npix) for one band.
+    """
+    w = inv_rms2 * mask
+    num = jnp.sum(w * res_map * T_map)
+    den = jnp.sum(w * T_map * T_map)
+    mu = num / den
+    var = 1.0 / den
+    if prior_std is not None:
+        vp = prior_std * prior_std
+        mu = (mu * vp + prior_mean * var) / (vp + var)
+        var = var * vp / (var + vp)
+    if sample and key is not None:
+        return mu + jnp.sqrt(var) * jax.random.normal(key, (), res_map.dtype)
+    return mu

@@ -198,3 +198,26 @@ def test_pixreg_ids_modes():
     ids5 = _pixreg_ids(plan, {}, 5)
     assert ids5.max() == 4
     assert np.all(np.diff(ids5) >= 0)   # monotone in ring-ordered pixel index
+
+
+def test_init_chain_warm_start(tmp_path_factory):
+    # INIT_CHAIN = 'file.h5:samp' warm start from another run's chain
+    # (initialize_from_chain, comm_signal_mod.f90:237-432)
+    cfg = _cfg()
+    out1 = str(tmp_path_factory.mktemp("chains_src"))
+    state1, chain1 = run(cfg, nside=8, lmax=16, synthetic=True, niter=2,
+                         outdir=out1, verbose=False)
+    with ChainFile(chain1, "r") as ch:
+        src = ch.read_sample(2)
+    cfg2 = _cfg()
+    cfg2.init_chain = f"{chain1}:2"
+    cfg2.num_gibbs_iter = 1
+    out2 = str(tmp_path_factory.mktemp("chains_dst"))
+    # capture the warm-start state by running zero additional smoothing:
+    # one iteration starting FROM the loaded alms
+    state2, chain2 = run(cfg2, nside=8, lmax=16, synthetic=True, niter=1,
+                         outdir=out2, verbose=False)
+    with ChainFile(chain2, "r") as ch:
+        assert ch.last_sample() == 1
+        s = ch.read_sample(1)
+        assert np.isfinite(float(s["aux"]["chisq"]))

@@ -85,3 +85,42 @@ def test_template_projection_adjoint():
     lhs = float(jnp.sum(joint._templates_fwd(ts, t) * m))
     rhs = float(jnp.sum(t * joint._templates_adj(ts, m)))
     assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), 1.0)
+
+
+def test_template_amp_masked_posterior():
+    """Masked template draw matches the analytic Gaussian posterior
+    (sample_partialsky_tempamps, comm_signal_mod.f90:459-524)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from commander_tpu.sampling.joint import sample_template_amp_masked
+
+    rng = np.random.default_rng(0)
+    npix = 3072
+    T = rng.standard_normal(npix)
+    amp_true = 2.5
+    sig = 0.3
+    d = amp_true * T + sig * rng.standard_normal(npix)
+    inv2 = jnp.full(npix, 1.0 / sig ** 2)
+    mask = jnp.asarray((np.arange(npix) % 3 != 0).astype(float))
+    # posterior mean (no prior)
+    mu = float(sample_template_amp_masked(None, jnp.asarray(d),
+                                          jnp.asarray(T), inv2, mask,
+                                          sample=False))
+    w = np.asarray(mask) / sig ** 2
+    mu_ref = np.sum(w * d * T) / np.sum(w * T * T)
+    assert abs(mu - mu_ref) < 1e-10
+    assert abs(mu - amp_true) < 0.02
+    # draws scatter with the posterior sigma
+    draws = [float(sample_template_amp_masked(jax.random.PRNGKey(s),
+                                              jnp.asarray(d), jnp.asarray(T),
+                                              inv2, mask))
+             for s in range(64)]
+    sig_ref = 1.0 / np.sqrt(np.sum(w * T * T))
+    assert abs(np.std(draws) - sig_ref) < 0.35 * sig_ref
+    # strong prior pulls the draw to the prior mean
+    mu_p = float(sample_template_amp_masked(None, jnp.asarray(d),
+                                            jnp.asarray(T), inv2, mask,
+                                            prior_mean=0.0, prior_std=1e-6,
+                                            sample=False))
+    assert abs(mu_p) < 1e-3
