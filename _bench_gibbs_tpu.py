@@ -17,7 +17,7 @@ with jax.default_device(cpu):
     import __graft_entry__ as g
     from commander_tpu.sampling import gibbs
     from commander_tpu.utils import transfer
-    for nside, lmax in ((64, 128), (128, 256)):
+    for nside, lmax in ((256, 512),):
         plan, sys, cfg, _ = g._build_problem(nside, lmax, dtype="float32")
         nbins = len(cfg.cl_cfg.bin_starts)
         state = gibbs.init_state(jax.random.PRNGKey(0), ncomp=3, nmaps=1,

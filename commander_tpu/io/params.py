@@ -171,6 +171,7 @@ class RunConfig:
     bands: list
     comps: list
     smoothing_scales: list = dataclasses.field(default_factory=list)
+    output_input_model: bool = False      # OUTPUT_INPUT_MODEL
     almsamp_pixreg: bool = False          # ALMSAMP_PIXREG
     init_chain: 'Optional[str]' = None    # INIT_CHAIN / INIT_CHAIN01 ('file:samp')
     resample_cmb: bool = False            # RESAMPLE_CMB
@@ -310,6 +311,7 @@ def lower_params(p: Params) -> RunConfig:
         sample_specind=bool(p.get("SAMPLE_SPECTRAL_INDICES", False)),
         sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),
         enable_tod=bool(p.get("ENABLE_TOD_ANALYSIS", False)),
+        output_input_model=bool(p.get("OUTPUT_INPUT_MODEL", False)),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
         init_chain=(lambda v: None if v is None or str(v).lower() == "none"
                     else str(v))(p.get("INIT_CHAIN",

@@ -707,6 +707,25 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     timer.stop("init")
     status.update("init done")
 
+    if getattr(cfg, "output_input_model", False):
+        # OUTPUT_INPUT_MODEL: dump the input model as sample 999999 and
+        # exit without sampling (commander.f90:132-137)
+        a_np = np.asarray(jnp.stack([state.a.real, state.a.imag]))
+        a_c = a_np[0] + 1j * a_np[1]
+        cl_now = np.asarray(jax.vmap(
+            lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(state.cl_bins))
+        ell = np.arange(meta["lmax"] + 1)
+        dl_fac = ell * (ell + 1) / (2 * np.pi)
+        comps_out = {
+            d.name: {"alm": a_c[i], "Dl": cl_now[i] * dl_fac,
+                     "specind": np.asarray([np.mean(t) for t in d.theta0],
+                                           np.float64)}
+            for i, d in enumerate(diffuse)}
+        ch.write_sample(999999, comps_out, gains=np.ones(len(cfg.bands)))
+        ch.close()
+        status.update("input model written as sample 999999")
+        return state, chain_path
+
     # plan is passed as a pytree ARGUMENT to every jit: closing over it
     # bakes the Legendre tables in as constants (slow XLA constant folding,
     # and constant embedding breaks the restricted TPU runtime).

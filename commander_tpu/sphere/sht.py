@@ -707,3 +707,29 @@ def map2alm_spin2(plan: SHTPlan, Q: jax.Array, U: jax.Array):
     Eh = -(a_p2 + a_m2) / 2.0
     Bh = 1j * (a_p2 - a_m2) / 2.0
     return Eh, Bh
+
+
+def flop_count(plan: SHTPlan, spin2: bool = False) -> dict:
+    """Estimated FLOPs for one synthesis (alm2map) with this plan — the
+    libsharp opcnt introspection the reference reads per execute
+    (sharp.f90:91-92,197-198). Returns a dict with per-stage and total
+    counts; the adjoint costs the same by symmetry.
+    """
+    nl = plan.lmax + 1
+    nm = plan.mmax + 1
+    # Legendre: real einsum over (nh rings x nl x nm), 2 planes (re, im)
+    # x 2 hemispheres folded into one pass, 2 flops per MAC
+    leg = 2.0 * 2.0 * 2.0 * plan.nh * nl * nm
+    if spin2:
+        leg *= 2.0                     # two tables (+2, -2)
+    # ring stage: belt complex iFFT + grouped cap Bluesteins,
+    # 5 N log2 N per complex FFT of length N
+    fft = 5.0 * plan.nbelt * plan.pmax * np.log2(plan.pmax)
+    for (i0, i1, Ls, _) in plan.cap_groups:
+        rows = 2 * (i1 - i0)           # north + south planes
+        fft += 2.0 * 5.0 * rows * Ls * np.log2(Ls)   # fft + ifft
+    if not plan.cap_groups:            # whole-sphere Bluestein plan
+        fft = 2.0 * 5.0 * plan.nring * plan.Ls * np.log2(plan.Ls)
+    if spin2:
+        fft *= 2.0
+    return {"legendre": leg, "ring_fft": fft, "total": leg + fft}

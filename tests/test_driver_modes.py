@@ -221,3 +221,20 @@ def test_init_chain_warm_start(tmp_path_factory):
         assert ch.last_sample() == 1
         s = ch.read_sample(1)
         assert np.isfinite(float(s["aux"]["chisq"]))
+
+
+def test_output_input_model_mode(tmp_path_factory):
+    # OUTPUT_INPUT_MODEL: model written as sample 999999, no Gibbs sampling
+    # (commander.f90:132-137)
+    cfg = _cfg()
+    cfg.output_input_model = True
+    out = str(tmp_path_factory.mktemp("chains_inmodel"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=5,
+                            outdir=out, verbose=False)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(999999)
+        assert any("alm" in c for c in s["comps"].values())
+        # no regular samples were produced
+        import h5py
+        names = [k for k in ch.f.keys() if k != "parameters"]
+        assert names == ["999999"]

@@ -166,3 +166,18 @@ def test_smooth_map_reduces_power():
     m = jnp.asarray(rng.standard_normal(healpix.npix_of(nside)))
     sm = sht.smooth_map(plan, m, 600.0)
     assert float(jnp.var(sm)) < 0.5 * float(jnp.var(m))
+
+
+def test_flop_count_scaling():
+    """FLOP introspection (libsharp opcnt parity): positive, stage-split,
+    and scaling ~nside^3 for the Legendre stage."""
+    from commander_tpu.sphere import sht
+    p1 = sht.get_plan(8, 16)
+    p2 = sht.get_plan(16, 32)
+    c1 = sht.flop_count(p1)
+    c2 = sht.flop_count(p2)
+    assert c1["total"] > 0 and c1["legendre"] > 0 and c1["ring_fft"] > 0
+    # Legendre ~ nh * nl * nm: x2 nside -> x8
+    assert 6.0 < c2["legendre"] / c1["legendre"] < 10.0
+    assert sht.flop_count(p1, spin2=True)["legendre"] == \
+        2 * c1["legendre"]
