@@ -248,7 +248,15 @@ def build_preconditioner(sys: AmplitudeSystem, plan):
     G = jnp.einsum("bcsl,bdsl,bs->slcd", fb, fb, kappa)
     S_half = jnp.einsum("csl->slc", sqcl)
     M = jnp.eye(sys.F.shape[1]) + S_half[..., :, None] * G * S_half[..., None, :]
-    M_inv = jnp.linalg.inv(M)                      # (S, nl, C, C)
+    # Jacobi equilibration before the batched inverse: at production lmax
+    # the S^1/2 G S^1/2 entries span ~1e10 of dynamic range and a plain
+    # f32 inverse loses the small eigendirections (CG stalls at ~1e-1
+    # residual at nside 512 / lmax 1024 in float32); scaling by the
+    # diagonal keeps the inverse accurate in either precision.
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(M, axis1=-2, axis2=-1), 1e-30))
+    E = 1.0 / d
+    Mn = M * E[..., :, None] * E[..., None, :]
+    M_inv = jnp.linalg.inv(Mn) * E[..., :, None] * E[..., None, :]
 
     def apply(r):
         return jnp.einsum("slcd,dslm->cslm", M_inv, r)
