@@ -89,7 +89,10 @@ def sed_freefree(nu, nu_ref, T_e):
 _SPD_LOGNU = np.log(np.geomspace(0.05e9, 3000e9, 512))
 _sig = 0.7
 _SPD_LOGJ = (-2.0 * _SPD_LOGNU) + (-0.5 * ((_SPD_LOGNU - np.log(30e9)) / _sig) ** 2)
-_SPD_PEAK = 30e9  # peak frequency of the stored template (in j nu^-2 sense)
+# Native peak of the stored template, defined EXACTLY as the loader does
+# (argmax of the raw emissivity j, comm_spindust_comp_mod.f90:128-133) so
+# nu_p means the same thing for the built-in and a loaded table.
+_SPD_PEAK = float(np.exp(_SPD_LOGNU[np.argmax(_SPD_LOGJ + 2.0 * _SPD_LOGNU)]))
 
 
 def set_spindust_template(nu, j_emission, peak_hz):

@@ -340,23 +340,58 @@ def _rebuild_mixing(diffuse, bps, thetas, deltas, sys, thetas_pol=None,
                       F_pix=jnp.asarray(F_pix, sys.data.dtype))
 
 
-def _pixreg_ids(plan, info, npr):
+def _pixreg_ids(plan, info, npr, data_dir=None):
     """Region id per pixel for pixel-region index sampling.
 
     Sources, in order (reference: COMP_*_PIXREG_MAP and the nside-based
     region init in initPixreg, comm_diffuse_comp_mod.f90:487-534):
     a region-map FITS file when given; HEALPix coarse pixels when npr is
-    12*n^2; equal-count RING latitude bands otherwise."""
+    12*n^2; equal-count RING latitude bands otherwise.
+
+    Region-map files follow the reference's 1-indexed convention
+    (initPixregSampling): value v assigns pixel to region v-1, value 0
+    means "not to be sampled" and is returned as id -1 (the caller
+    freezes those pixels at the current theta). Paths are resolved
+    against data_dir like every other input file (the reference prepends
+    cpar%datadir); a named-but-missing file warns loudly before the
+    nside/latitude fallback instead of silently falling through."""
     import os
+    import warnings
 
     path = info.get("pixreg_map")
     npix = 12 * plan.nside ** 2
-    if path and os.path.exists(str(path)):
+    if path and str(path).lower() not in ("none", "fullsky", ""):
+        p = str(path)
+        if not os.path.isabs(p):
+            p = os.path.join(data_dir or ".", p)
+        if not os.path.exists(p):
+            warnings.warn(
+                f"pixel-region map {path!r} not found (resolved {p!r}); "
+                f"falling back to built-in {npr}-region layout",
+                stacklevel=2)
+            path = None
+    if path and str(path).lower() not in ("none", "fullsky", ""):
+        p = str(path)
+        if not os.path.isabs(p):
+            p = os.path.join(data_dir or ".", p)
         from .io.fits import read_map
-        m = np.asarray(read_map(str(path)))
+        m = np.asarray(read_map(p))
         m = m[0] if m.ndim > 1 else m
-        ids = np.asarray(np.rint(m), np.int32)
-        return np.clip(ids - ids.min(), 0, npr - 1)
+        if m.shape[-1] != npix:
+            from .sphere.healpix import udgrade_indices
+            ns_in = int(np.sqrt(m.shape[-1] / 12.0))
+            if ns_in >= plan.nside:
+                idx = np.asarray(udgrade_indices(ns_in, plan.nside))
+                m = m[idx[:, 0]]
+            else:
+                idx = np.asarray(udgrade_indices(plan.nside, ns_in))
+                out = np.empty(npix, m.dtype)
+                for r in range(idx.shape[0]):
+                    out[idx[r]] = m[r]
+                m = out
+        v = np.asarray(np.rint(m), np.int32)
+        ids = np.where(v <= 0, -1, np.minimum(v - 1, npr - 1))
+        return ids.astype(np.int32)
     n = int(np.sqrt(npr / 12.0)) if npr >= 12 else 0
     if n >= 1 and 12 * n * n == npr:
         from .sphere.healpix import udgrade_indices
@@ -371,7 +406,7 @@ def _pixreg_ids(plan, info, npr):
 
 def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                   deltas=None, ind_alms=None, pixind=False, ind_steps=None,
-                  thetas_pol=None, ind_regs=None):
+                  thetas_pol=None, ind_regs=None, data_dir=None):
     """Nonlinear (spectral-index) Gibbs step + mixing-matrix rebuild.
 
     Reference flow: sample_nonlin_params (comm_nonlin_mod.f90:92) ->
@@ -473,23 +508,45 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
                 if getattr(cfg, "almsamp_pixreg", False) and npr > 0 \
                         and ind_regs is not None:
                     # alm-MH over pixel-region means (ALMSAMP_PIXREG;
-                    # comm_nonlin_mod.f90:420-607)
-                    rop = _pixreg_ids(plan, info, npr)
+                    # comm_nonlin_mod.f90:420-607). Region ids are
+                    # computed once per (comp, index) and cached.
+                    rop = ind_regs.get(("rop", ci, which))
+                    if rop is None:
+                        rop = _pixreg_ids(plan, info, npr,
+                                          data_dir=data_dir)
+                        ind_regs[("rop", ci, which)] = rop
+                    nreg = npr
+                    frozen_extra = bool(np.any(np.asarray(rop) < 0))
+                    if frozen_extra:
+                        # map value 0 = "not to be sampled": route those
+                        # pixels to an extra always-frozen region slot
+                        # holding the default theta (initPixregSampling's
+                        # 0-convention).
+                        rop = np.where(np.asarray(rop) < 0, npr, rop)
+                        nreg = npr + 1
                     t_reg = ind_regs.get((ci, which))
                     if t_reg is None:
-                        t_reg = jnp.full((npr,),
+                        t_reg = jnp.full((nreg,),
                                          float(np.mean(thetas[ci][which])))
                     prpri = info.get("pixreg_priors")
-                    priors = (np.asarray([float(v) * u for v in
-                                          str(prpri).split(",")][:npr])
-                              if prpri else None)
+                    priors = None
+                    if prpri:
+                        pv = [float(v) * u
+                              for v in str(prpri).split(",")][:npr]
+                        if frozen_extra:
+                            pv = pv + [float(np.mean(thetas[ci][which]))]
+                        priors = np.asarray(pv)
                     prfix = info.get("fix_pixreg")
                     fix = None
                     if prfix and str(prfix).lower() not in ("none", ""):
-                        fx = np.zeros(npr, bool)
+                        fx = np.zeros(nreg, bool)
                         for v in str(prfix).split(","):
                             fx[int(v) - 1] = True
                         fix = fx
+                    if frozen_extra:
+                        fix = (np.zeros(nreg, bool) if fix is None
+                               else np.asarray(fix, bool))
+                        fix[npr] = True
                     fpp = 0.0
                     ss_id2 = int(info.get("smoothing_scale", 0) or 0)
                     if ss_id2 and ss_id2 <= len(scales):
@@ -721,7 +778,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                      "specind": np.asarray([np.mean(t) for t in d.theta0],
                                            np.float64)}
             for i, d in enumerate(diffuse)}
-        ch.write_sample(999999, comps_out, gains=np.ones(len(cfg.bands)))
+        ch.write_sample(999999, comps_out,
+                        gains=(gains_init if gains_init is not None
+                               else np.ones(len(cfg.bands))))
         ch.close()
         status.update("input model written as sample 999999")
         return state, chain_path
@@ -893,7 +952,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                                               ind_steps=ind_steps,
                                               thetas_pol=thetas_pol
                                               if pol else None,
-                                              ind_regs=ind_regs)
+                                              ind_regs=ind_regs,
+                                              data_dir=data_dir)
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---
