@@ -149,6 +149,15 @@ class ComponentParamConfig:
     mask: Optional[str]
     sed_template: Optional[str] = None    # COMP_SED_TEMPLATE (spindust/physdust)
     indices: dict = dataclasses.field(default_factory=dict)  # name -> (default, prior_mean, prior_rms, min, max, sample)
+    cl_bin_file: Optional[str] = None     # COMP_CL_BIN_FILE (binned type)
+    cl_poltype: int = 1                   # COMP_CL_POLTYPE
+    cg_samp_groups: tuple = ()            # COMP_CG_SAMPLE_GROUP (may list several)
+    cg_samp_group_maxiter: int = 0        # COMP_CG_SAMP_GROUP_MAXITER
+    catalog: Optional[str] = None         # COMP_CATALOG (ptsrc)
+    template_file: Optional[str] = None   # COMP_TEMPLATE_DEFINITION_FILE
+    amp_prior_mean: float = 0.0           # COMP_PRIOR_GAUSS_MEAN (templates)
+    amp_prior_rms: float = 0.0            # COMP_PRIOR_GAUSS_RMS
+    amp_default: float = 1.0              # COMP_DEFAULT_AMPLITUDE
 
 
 @dataclasses.dataclass
@@ -178,6 +187,12 @@ class RunConfig:
     numsamp_per_resamp: int = 1           # NUMSAMP_PER_RESAMP
     first_samp_resamp: int = 1            # FIRST_SAMPLE_FOR_CMB_RESAMP
     last_samp_resamp: int = 1             # LAST_SAMPLE_FOR_CMB_RESAMP
+    cg_precond: str = "diagonal"          # CG_PRECOND_TYPE
+    cg_lmax_precond: int = -1             # CG_LMAX_PRECOND (low-l dense)
+    cg_conv_crit: str = "residual"        # CG_CONVERGENCE_CRITERION
+    # user-defined CG sampling groups (CG_SAMPLING_GROUPxx keys):
+    # list of dicts {comps: [labels], mask: str|None, maxiter: int}
+    cg_user_groups: list = dataclasses.field(default_factory=list)
 
 
 # per-type spectral index key names in the reference param files
@@ -272,6 +287,16 @@ def lower_params(p: Params) -> RunConfig:
                                          if prpri is not None else None,
                                          fix_pixreg=str(prfix)
                                          if prfix is not None else None)
+        # COMP_CG_SAMPLE_GROUP may list several group ids ('0  1'); keep
+        # the full token list (comm_comp_mod CG sampling-group membership)
+        cgg = ()
+        for w in (3, 2):
+            k = f"COMP_CG_SAMPLE_GROUP{i:0{w}d}"
+            if k in p.table:
+                raw = p.table[k].split("#", 1)[0]
+                cgg = tuple(int(t) for t in raw.split()
+                            if t.lstrip("-").isdigit())
+                break
         comps.append(ComponentParamConfig(
             label=str(label), ctype=ctype,
             cclass=str(p.get_indexed("COMP_CLASS", i, "diffuse")),
@@ -293,6 +318,19 @@ def lower_params(p: Params) -> RunConfig:
             mask=p.get_indexed("COMP_MASK", i),
             sed_template=p.get_indexed("COMP_SED_TEMPLATE", i),
             indices=indices,
+            cl_bin_file=p.get_indexed("COMP_CL_BIN_FILE", i),
+            cl_poltype=int(p.get_indexed("COMP_CL_POLTYPE", i, 1) or 1),
+            cg_samp_groups=cgg,
+            cg_samp_group_maxiter=int(
+                p.get_indexed("COMP_CG_SAMP_GROUP_MAXITER", i, 0) or 0),
+            catalog=p.get_indexed("COMP_CATALOG", i),
+            template_file=p.get_indexed("COMP_TEMPLATE_DEFINITION_FILE", i),
+            amp_prior_mean=float(
+                p.get_indexed("COMP_PRIOR_GAUSS_MEAN", i, 0.0) or 0.0),
+            amp_prior_rms=float(
+                p.get_indexed("COMP_PRIOR_GAUSS_RMS", i, 0.0) or 0.0),
+            amp_default=float(
+                p.get_indexed("COMP_DEFAULT_AMPLITUDE", i, 1.0) or 1.0),
         ))
 
     return RunConfig(
@@ -316,6 +354,17 @@ def lower_params(p: Params) -> RunConfig:
         init_chain=(lambda v: None if v is None or str(v).lower() == "none"
                     else str(v))(p.get("INIT_CHAIN",
                                        p.get_indexed("INIT_CHAIN", 1))),
+        cg_precond=str(p.get("CG_PRECOND_TYPE", "diagonal")),
+        cg_lmax_precond=int(p.get("CG_LMAX_PRECOND", -1) or -1),
+        cg_conv_crit=str(p.get("CG_CONVERGENCE_CRITERION", "residual")),
+        cg_user_groups=[
+            dict(comps=[t.strip() for t in
+                        str(p.get_indexed("CG_SAMPLING_GROUP", g, "")
+                            ).split(",") if t.strip()],
+                 mask=p.get_indexed("CG_SAMPLING_GROUP_MASK", g),
+                 maxiter=int(p.get_indexed("CG_SAMPLING_GROUP_MAXITER",
+                                           g, 0) or 0))
+            for g in range(1, int(p.get("NUM_CG_SAMPLING_GROUPS", 0)) + 1)],
         resample_cmb=bool(p.get("RESAMPLE_CMB", False)),
         numsamp_per_resamp=int(p.get("NUMSAMP_PER_RESAMP", 1)),
         first_samp_resamp=int(p.get("FIRST_SAMPLE_FOR_CMB_RESAMP", 1)),

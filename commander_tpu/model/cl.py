@@ -34,6 +34,51 @@ class ClModelConfig:
     bin_starts: tuple = ()
     # power_law/exp/gauss: hyperparams sampled {amp, beta}; prior scale ell_pivot
     ell_pivot: int = 50
+    # binned model: per-bin per-Stokes sample flags from the bin file's
+    # stat column ('S'/'M' sample, '0' keep fixed); empty = sample all
+    sample_bins: tuple = ()
+
+
+def read_cl_bin_file(path: str, lmax: int):
+    """Parse a reference Cl bin file (read_binfile, comm_Cl_mod.f90:386-431):
+    lines 'l1 l2 stat...' with stat one char per spectrum
+    {TT,TE,TB,EE,EB,BB} ('S' sample / 'M' marginalize / '0' fixed).
+
+    Returns (bin_starts tuple incl. a leading 0 bin when l1>0, sample (nbins,
+    3) bool over {T,E,B} from the TT/EE/BB columns). Bins beyond lmax are
+    dropped; gaps between bins become non-sampled filler bins so
+    bin_index_table stays a plain searchsorted."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            toks = line.split()
+            l1, l2 = int(toks[0]), int(toks[1])
+            if not (0 <= l1 <= lmax and 0 <= l2):
+                continue
+            stat = "".join(toks[2:]) if len(toks) > 2 else "SSSSSS"
+            rows.append((l1, min(l2, lmax), stat))
+    if not rows:
+        raise ValueError(f"Cl bin file {path} has no valid entries")
+    rows.sort()
+    starts, sample = [], []
+    cur = 0
+    for l1, l2, stat in rows:
+        if l1 > cur:
+            starts.append(cur)            # filler bin: not sampled
+            sample.append((False, False, False))
+        starts.append(l1)
+        pick = [stat[0] if len(stat) > 0 else "0",
+                stat[3] if len(stat) > 3 else "0",
+                stat[5] if len(stat) > 5 else "0"]
+        sample.append(tuple(c in "SM" for c in pick))
+        cur = l2 + 1
+    if cur <= lmax:
+        starts.append(cur)
+        sample.append((False, False, False))
+    return tuple(starts), np.asarray(sample, bool)
 
 
 def bin_index_table(cfg: ClModelConfig) -> np.ndarray:
@@ -56,20 +101,56 @@ def cl_eval(cfg: ClModelConfig, params: dict) -> jnp.ndarray:
     if cfg.kind == "binned":
         idx = jnp.asarray(bin_index_table(cfg))
         return params["cl_bins"][:, idx]
-    if cfg.kind in ("power_law", "exp", "gauss"):
+    if cfg.kind in ("power_law", "power_law_gauss", "exp", "gauss"):
+        # Reference Dl shapes (updatePowlaw/updatePowlawGauss/
+        # updateExponential/updateGaussian, comm_Cl_mod.f90:227-314):
+        #   power_law        Dl = amp (l/lpiv)^beta,  Dl(0)=Dl(1)
+        #   power_law_gauss  power_law x max(exp(-l(l+1) sig90'^2), 1e-10)
+        #   exp              Dl = amp exp(-beta l/lpiv),  Dl(0)=Dl(1)
+        #   gauss            Dl = amp max(exp(-l(l+1) sig(beta')^2), 1e-10)
+        # where beta' is a FWHM in ARCMIN for gauss and sig90' the sigma of
+        # a fixed 90-arcmin beam for power_law_gauss.
         amp = params["amp"][:, None]
         beta = params["beta"][:, None]
         x = jnp.maximum(ell, 1.0) / cfg.ell_pivot
+        llp1 = ell * (ell + 1.0)
         if cfg.kind == "power_law":
             shape = x ** beta
+        elif cfg.kind == "power_law_gauss":
+            sig90 = np.pi / 180.0 / 60.0 * 90.0 / np.sqrt(8.0 * np.log(2.0))
+            shape = x ** beta * jnp.maximum(jnp.exp(-llp1 * sig90 ** 2),
+                                            1e-10)
         elif cfg.kind == "exp":
-            shape = jnp.exp(beta * x)
-        else:
-            shape = jnp.exp(-0.5 * (x * beta) ** 2)
+            shape = jnp.exp(-beta * x)
+        else:  # gauss: beta is a FWHM in arcmin
+            sig = beta * (np.pi / 180.0 / 60.0) / np.sqrt(8.0 * np.log(2.0))
+            shape = jnp.maximum(jnp.exp(-llp1 * sig ** 2), 1e-10)
         dl = amp * shape
-        cl = 2.0 * jnp.pi * dl / jnp.maximum(ell * (ell + 1.0), 1.0)
-        return cl.at[:, 0].set(0.0)
+        # Dl(0) = Dl(1) (reference copies l=1 into the monopole row)
+        dl = dl.at[:, 0].set(dl[:, 1])
+        cl = 2.0 * jnp.pi * dl / jnp.maximum(llp1, 1.0)
+        return cl
     raise ValueError(cfg.kind)
+
+
+def fixed_cl_from_config(kind: str, amp, beta, lpivot: int, lmax: int,
+                         nmaps: int) -> np.ndarray:
+    """Numpy Cl (nmaps, lmax+1) for the FIXED functional prior models.
+
+    The reference never resamples power_law/power_law_gauss/exp/gauss
+    spectra (sample_Cls_powlaw / sample_Cls_powlaw_gauss are empty,
+    comm_Cl_mod.f90:1251-1265); they are static priors with per-Stokes
+    (amp, beta) defaults. E/B rows are zeroed below l=2 like the
+    constructor's 'if (i > 1 .and. l < 2) cycle'."""
+    cfg = ClModelConfig(kind=kind, lmax=lmax, nmaps=nmaps,
+                        ell_pivot=max(int(lpivot), 1))
+    amp = np.broadcast_to(np.asarray(amp, np.float64), (nmaps,))
+    beta = np.broadcast_to(np.asarray(beta, np.float64), (nmaps,))
+    cl = np.array(cl_eval(cfg, {"amp": jnp.asarray(amp),
+                                "beta": jnp.asarray(beta)}))
+    if nmaps > 1:
+        cl[1:, :2] = 0.0
+    return cl
 
 
 def _sqrt_or_zero(cl):
@@ -102,7 +183,8 @@ def sigma_ell(alm: jnp.ndarray, lmax: int) -> jnp.ndarray:
 
 
 def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
-                              alpha0: float = -1.0, beta0: float = 0.0):
+                              alpha0: float = -1.0, beta0: float = 0.0,
+                              prev_bins=None):
     """Conditional draw of binned Cl | alm via inverse-gamma per bin.
 
     For the diagonal-Stokes case the inverse-Wishart of the reference
@@ -123,7 +205,16 @@ def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
     nmodes = jax.ops.segment_sum(wl, idx, num_segments=nbins)
     shape = jnp.maximum(alpha0 + nmodes / 2.0, 0.5)
     g = jax.random.gamma(key, shape[None, :].repeat(sig.shape[0], 0))
-    return (beta0 + ssum / 2.0) / g
+    draw = (beta0 + ssum / 2.0) / g
+    if cfg.sample_bins and prev_bins is not None:
+        # bin-file stat flags: only 'S'/'M' bins are redrawn
+        # (comm_Cl_mod.f90:889 'cycle' on fixed bins)
+        sb = np.asarray(cfg.sample_bins, bool)          # (nbins, <=3)
+        m = np.zeros((sig.shape[0], nbins), bool)
+        ns = min(sig.shape[0], sb.shape[1])
+        m[:ns] = sb.T[:ns]
+        draw = jnp.where(jnp.asarray(m), draw, prev_bins)
+    return draw
 
 
 def sample_cl_prior(key, cfg: ClModelConfig, nmaps: int, alpha0: float,

@@ -104,15 +104,37 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                 bp, profile_type=str(b.bandpass_type)))
     F = np.asarray(mixing_matrix(diffuse, bps), dtype=dtype)
 
+    # Harmonic beams: BAND_BEAM_B_L_FILE when given (comm_B_bl_mod.f90:108
+    # matmulB reads b_l x pixel window from file), else Gaussian FWHM.
+    # A named-but-missing beam file is an ERROR in non-synthetic runs (the
+    # reference aborts on missing inputs; silent 60' fallbacks produce
+    # plausible-looking garbage).
     pw = pixel_window(nside, lmax)
-    bl = np.stack([
-        gaussian_bl(max(b.beam_fwhm_arcmin, 1e-3) or 60.0, lmax) * pw
-        if b.beam_fwhm_arcmin else gaussian_bl(60.0, lmax) * pw
-        for b in cfg.bands]).astype(dtype)[:, None, :]
-    bl = np.broadcast_to(bl, (len(cfg.bands), S, nl)).copy()
+    bl = np.empty((len(cfg.bands), S, nl), dtype)
+    for b_i, b in enumerate(cfg.bands):
+        blf = getattr(b, "beamfile", None)
+        if blf and str(blf).lower() not in ("none", ""):
+            bpath2 = os.path.join(data_dir or ".", str(blf))
+            if os.path.exists(bpath2):
+                from .instrument.files import load_beam_bl_fits
+                cols = load_beam_bl_fits(bpath2, lmax)   # (nl, ncol)
+                for s in range(S):
+                    bl[b_i, s] = cols[:, min(s, cols.shape[1] - 1)] * pw
+                continue
+            if not synthetic:
+                raise FileNotFoundError(
+                    f"BAND_BEAM_B_L_FILE {blf!r} for band {b.label} not "
+                    f"found (resolved {bpath2!r})")
+        fwhm = b.beam_fwhm_arcmin or 60.0
+        bl[b_i] = (gaussian_bl(max(fwhm, 1e-3), lmax) * pw)[None, :]
 
-    # C_ell prior models: one shared config (per-comp params), power_law or
-    # binned per the parameter file.
+    # C_ell prior models, PER COMPONENT per COMP_CL_TYPE
+    # (comm_Cl_mod.f90:49-101 constructor dispatch): 'binned' components
+    # get their COMP_CL_BIN_FILE bins (or a default geomspace binning) and
+    # are resampled; power_law / power_law_gauss / exp / gauss / none are
+    # FIXED prior spectra built from the COMP_CL_DEFAULT_* keys (the
+    # reference never resamples them — sample_Cls_powlaw is empty).
+    from .model.cl import fixed_cl_from_config, read_cl_bin_file
     bin_starts = tuple(int(x) for x in
                        np.unique(np.concatenate([[0, 2],
                                 np.geomspace(4, max(lmax, 5), 10).astype(int)])))
@@ -131,13 +153,44 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
             cl[:2] = 0.0   # no E/B below l=2
         return cl
 
-    cl0 = np.stack([
-        np.stack([_cl_row(c, st) for st in range(S)])
-        for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
-        ("md", "cmb_relquad", "template")]).astype(dtype)
+    diffuse_pcfgs = [c for c in cfg.comps if c.cclass == "diffuse"
+                     and c.ctype not in ("md", "cmb_relquad", "template")]
+    cl_cfgs, cl0_rows = [], []
+    for c in diffuse_pcfgs:
+        kind = str(c.cl_type or "binned").lower()
+        if kind in ("binned", "single_l"):
+            starts, sample = bin_starts, ()
+            if c.cl_bin_file:
+                bpath = os.path.join(data_dir or ".", str(c.cl_bin_file))
+                if os.path.exists(bpath):
+                    st, sm = read_cl_bin_file(bpath, lmax)
+                    starts, sample = st, tuple(map(tuple, sm))
+            cl_cfgs.append(ClModelConfig(kind="binned", lmax=lmax, nmaps=S,
+                                         bin_starts=starts,
+                                         sample_bins=sample))
+            cl0_rows.append(np.stack([_cl_row(c, st) for st in range(S)]))
+        elif kind in ("power_law", "power_law_gauss", "exp", "gauss"):
+            cl_cfgs.append(ClModelConfig(kind=kind, lmax=lmax, nmaps=S,
+                                         ell_pivot=max(c.cl_lpivot, 1)))
+            amps = [c.cl_amp_def[min(st, 2)] or 1.0 for st in range(S)]
+            betas = [c.cl_beta_def[min(st, 2)] or 0.0 for st in range(S)]
+            cl0_rows.append(fixed_cl_from_config(kind, amps, betas,
+                                                 c.cl_lpivot, lmax, S))
+        else:   # 'none' etc: fixed default power-law prior shape
+            cl_cfgs.append(ClModelConfig(kind="none", lmax=lmax, nmaps=S))
+            cl0_rows.append(np.stack([_cl_row(c, st) for st in range(S)]))
+    cl_cfgs = tuple(cl_cfgs)
+    nbins_max = max([len(cc.bin_starts) for cc in cl_cfgs
+                     if cc.kind == "binned"] + [len(bin_starts)])
+    cl_cfg = dataclasses.replace(
+        cl_cfg, bin_starts=next(
+            (cc.bin_starts for cc in cl_cfgs if cc.kind == "binned"),
+            bin_starts))
+    cl0 = np.stack(cl0_rows).astype(dtype)
 
     rng = np.random.default_rng(seed)
     rms = np.full((len(cfg.bands), S, npix), 10.0, dtype)
+    cov_qu = None
     if synthetic:
         import jax.random as jr
         key = jr.PRNGKey(seed)
@@ -163,17 +216,52 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                     m = (m[:, idx].mean(axis=-1) if idx.ndim == 2
                          else m[:, idx])
                 maps.append(m.astype(dtype))
+            elif b.mapfile:
+                raise FileNotFoundError(
+                    f"BAND_MAPFILE {b.mapfile!r} for band {b.label} not "
+                    f"found (resolved {path!r})")
             else:
                 maps.append(np.zeros((S, npix), dtype))
+            b_i = len(maps) - 1
             npath = os.path.join(data_dir or ".", b.noisefile or "")
             if b.noisefile and os.path.exists(npath):
-                r = fitsio.read_map(npath)[:1]
-                rns = int(np.sqrt(r.shape[1] / 12))
-                if rns != nside:
-                    idx = healpix.udgrade_indices(rns, nside)
-                    r = (np.sqrt((r[:, idx] ** 2).mean(axis=-1))
-                         if idx.ndim == 2 else r[:, idx])
-                rms[len(maps) - 1] = r.astype(dtype)
+                r_all = fitsio.read_map(npath)
+                if str(b.noise_format).lower() == "qucov" and S == 3 \
+                        and r_all.shape[0] >= 4:
+                    # BAND_NOISE_FORMAT = QUcov: per-pixel 2x2 QU noise
+                    # covariance, rows (rms_T, NQQ, NQU, NUU) — the
+                    # pixel-diagonal form of comm_N_QUcov_mod.f90 (the
+                    # reference's dense low-res 2npix x 2npix variant is
+                    # its WMAP special case).
+                    if cov_qu is None:
+                        cov_qu = np.zeros((len(cfg.bands), npix, 2, 2),
+                                          dtype)
+                        cov_qu[..., 0, 0] = 1.0
+                        cov_qu[..., 1, 1] = 1.0
+                    rns = int(np.sqrt(r_all.shape[1] / 12))
+                    if rns != nside:
+                        idx = healpix.udgrade_indices(rns, nside)
+                        r_all = (r_all[:, idx].mean(axis=-1)
+                                 if idx.ndim == 2 else r_all[:, idx])
+                    rms[b_i, 0] = r_all[0].astype(dtype)
+                    rms[b_i, 1] = np.sqrt(np.maximum(r_all[1], 1e-30))
+                    rms[b_i, 2] = np.sqrt(np.maximum(r_all[3], 1e-30))
+                    cov_qu[b_i, :, 0, 0] = r_all[1]
+                    cov_qu[b_i, :, 0, 1] = r_all[2]
+                    cov_qu[b_i, :, 1, 0] = r_all[2]
+                    cov_qu[b_i, :, 1, 1] = r_all[3]
+                else:
+                    r = r_all[:S] if r_all.shape[0] >= S else r_all[:1]
+                    rns = int(np.sqrt(r.shape[1] / 12))
+                    if rns != nside:
+                        idx = healpix.udgrade_indices(rns, nside)
+                        r = (np.sqrt((r[:, idx] ** 2).mean(axis=-1))
+                             if idx.ndim == 2 else r[:, idx])
+                    rms[b_i] = r.astype(dtype)
+            elif b.noisefile:
+                raise FileNotFoundError(
+                    f"BAND_NOISEFILE {b.noisefile!r} for band {b.label} "
+                    f"not found (resolved {npath!r})")
         data = np.stack(maps)
         truth = None
 
@@ -193,7 +281,9 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
 
     sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl), jnp.asarray(rms),
                            jnp.asarray(cl0), jnp.asarray(data),
-                           mask=jnp.asarray(mask))
+                           mask=jnp.asarray(mask),
+                           cov_qu=None if cov_qu is None
+                           else jnp.asarray(cov_qu))
     meta = {"nside": nside, "lmax": lmax, "nmaps": S,
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in cfg.bands]}
@@ -201,35 +291,171 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     pcfgs = [c for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
              ("md", "cmb_relquad", "template")]
 
-    # --- md components and point sources (joint linear amplitudes) -------
+    # --- md components, fixed templates, relquad, and point sources
+    # (joint linear amplitudes solved in the same CG system) -------------
     from .sampling import joint as joint_mod
     ts = ps = None
+    t_rows, t_mu, t_rms, t_names = [], [], [], []
     if any(c.ctype == "md" for c in cfg.comps):
-        ts = joint_mod.make_md_templates(nside, len(cfg.bands), nmaps=S,
+        md = joint_mod.make_md_templates(nside, len(cfg.bands), nmaps=S,
                                          dtype=np.dtype(dtype).type)
+        t_rows.append(np.asarray(md.maps))
         # weak Gaussian priors anchor the md degeneracy with l<=1 diffuse
-        ts = dataclasses.replace(
-            ts, prior_istd=jnp.full(ts.maps.shape[0], 1e-2, dtype))
+        t_mu += [0.0] * md.maps.shape[0]
+        t_rms += [100.0] * md.maps.shape[0]
+        t_names += [f"md_{b.label}_{nm}" for b in cfg.bands
+                    for nm in ("mono", "dx", "dy", "dz")]
+    for c in cfg.comps:
+        if c.ctype == "cmb_relquad":
+            # relativistic dipole-induced quadrupole: one template over the
+            # active bands, per-band frequency scaling
+            # (comm_cmb_relquad_comp_mod.f90:60-141, update_template :335)
+            from .model.relquad import relquad_template
+            active = [True] * len(cfg.bands)
+            if c.template_file:
+                dpath = os.path.join(data_dir or ".", str(c.template_file))
+                if os.path.exists(dpath):
+                    act = {}
+                    with open(dpath) as f:
+                        for line in f:
+                            line = line.split("#", 1)[0].strip()
+                            if line:
+                                lbl, flag = line.split()[:2]
+                                act[lbl] = flag.lower() in (".true.", "true",
+                                                            "1")
+                    active = [act.get(b.label, True) for b in cfg.bands]
+                elif not synthetic:
+                    raise FileNotFoundError(
+                        f"COMP_TEMPLATE_DEFINITION_FILE "
+                        f"{c.template_file!r} not found")
+            row = np.zeros((1, len(cfg.bands), S, npix), dtype)
+            for b_i, b in enumerate(cfg.bands):
+                if active[b_i]:
+                    row[0, b_i, 0] = relquad_template(
+                        nside, b.nominal_freq_ghz * GHZ)
+            t_rows.append(row)
+            t_mu.append(c.amp_prior_mean or c.amp_default)
+            # prior rms 0 = amplitude pinned at the prior mean (the
+            # tutorial's relquad: mean 1, rms 0)
+            t_rms.append(c.amp_prior_rms)
+            t_names.append(c.label)
+        elif c.cclass == "template" and c.ctype != "cmb_relquad":
+            # generic fixed templates: definition file rows
+            # 'band mapfile maskfile mu rms default'
+            # (initialize_template_comps, comm_template_comp_mod.f90:157-…)
+            if not c.template_file:
+                continue
+            dpath = os.path.join(data_dir or ".", str(c.template_file))
+            if not os.path.exists(dpath):
+                if synthetic:
+                    continue
+                raise FileNotFoundError(
+                    f"COMP_TEMPLATE_DEFINITION_FILE {c.template_file!r} "
+                    f"not found")
+            labels = {b.label: i for i, b in enumerate(cfg.bands)}
+            with open(dpath) as f:
+                for line in f:
+                    line = line.split("#", 1)[0].strip()
+                    if not line:
+                        continue
+                    toks = line.split()
+                    lbl, mapf = toks[0], toks[1]
+                    mu = float(toks[3]) if len(toks) > 3 else 0.0
+                    rms_t = float(toks[4]) if len(toks) > 4 else 0.0
+                    if lbl not in labels:
+                        continue
+                    b_i = labels[lbl]
+                    tpath = os.path.join(data_dir or ".", mapf)
+                    if not os.path.exists(tpath):
+                        if synthetic:
+                            continue
+                        raise FileNotFoundError(
+                            f"template map {mapf!r} not found")
+                    tm = fitsio.read_map(tpath)[:S]
+                    tns = int(np.sqrt(tm.shape[1] / 12))
+                    if tns != nside:
+                        idx = healpix.udgrade_indices(tns, nside)
+                        tm = (tm[:, idx].mean(axis=-1) if idx.ndim == 2
+                              else tm[:, idx])
+                    row = np.zeros((1, len(cfg.bands), S, npix), dtype)
+                    row[0, b_i, : tm.shape[0]] = tm
+                    t_rows.append(row)
+                    t_mu.append(mu)
+                    t_rms.append(rms_t)
+                    t_names.append(f"{c.label}_{lbl}")
+    if t_rows:
+        mu = np.asarray(t_mu, dtype)
+        rms_arr = np.asarray(t_rms, dtype)
+        # rms 0 -> effectively pinned at the mean (reference templates use
+        # [mu, 0] to hold amplitudes fixed); rms>0 -> Gaussian prior
+        istd = np.where(rms_arr > 0, 1.0 / np.maximum(rms_arr, 1e-30), 1e6)
+        ts = joint_mod.TemplateSet(
+            maps=jnp.asarray(np.concatenate(t_rows, axis=0)),
+            prior_mean=jnp.asarray(mu), prior_istd=jnp.asarray(istd, dtype))
+        meta["template_names"] = t_names
     ptsrc_cfgs = [c for c in cfg.comps if c.cclass == "ptsrc"]
-    if ptsrc_cfgs and synthetic:
-        nsrc = 20
-        src_pix = rng.choice(npix, size=nsrc, replace=False)
-        beta_src = -2.5
-        F_src = np.stack([(b.nominal_freq_ghz / 30.0) ** beta_src
-                          * np.ones(nsrc) for b in cfg.bands])
-        fwhms = np.asarray([max(b.beam_fwhm_arcmin, 60.0)
-                            for b in cfg.bands])
-        ps = joint_mod.gaussian_stamp_ptsrc(
-            nside, src_pix, F_src, fwhms, nmaps=S,
-            npatch=min(32, npix // 4), dtype=np.dtype(dtype).type)
-        # inject true source fluxes into the synthetic data (bright
-        # enough to be detected at the synthetic noise level)
-        p_true = np.abs(rng.standard_normal(nsrc)) * 50.0 + 50.0
-        extra = joint_mod._ptsrc_fwd(ps, jnp.asarray(p_true, dtype), npix)
-        sys = dataclasses.replace(sys, data=sys.data + extra)
-        meta["nsrc"] = nsrc
-        meta["ptsrc_true"] = p_true
-    return plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps
+    for c in ptsrc_cfgs:
+        cpath = os.path.join(data_dir or ".", str(c.catalog or ""))
+        if c.catalog and os.path.exists(cpath):
+            # reference catalog: 'glon glat amp amp_rms alpha beta
+            # alpha_rms beta_rms chisq id' rows (read_sources,
+            # comm_ptsrc_comp_mod.f90:578-793); radio SED
+            # (nu/nu_ref)^(-2+alpha) (evalSED :322)
+            rows = []
+            with open(cpath) as f:
+                for line in f:
+                    line = line.split("#", 1)[0].strip()
+                    if line:
+                        rows.append([float(t) for t in line.split()[:6]])
+            cat = np.asarray(rows)
+            glon, glat = np.deg2rad(cat[:, 0]), np.deg2rad(cat[:, 1])
+            theta_c = np.pi / 2.0 - glat
+            src_pix = np.asarray(
+                healpix.ang2pix_ring(nside, theta_c, glon), np.int64)
+            alpha_src = cat[:, 4]
+            nu0 = c.nu_ref_t_ghz or 30.0
+            F_src = np.stack([
+                (b.nominal_freq_ghz / nu0) ** (-2.0 + alpha_src)
+                for b in cfg.bands])
+            fwhms = np.asarray([max(b.beam_fwhm_arcmin, 1.0)
+                                for b in cfg.bands])
+            ps = joint_mod.gaussian_stamp_ptsrc(
+                nside, src_pix, F_src, fwhms, nmaps=S,
+                npatch=min(32, npix // 4), dtype=np.dtype(dtype).type)
+            # catalog amplitudes as Gaussian prior means with the
+            # amp_rms column scaled by COMP_AMP_RMS_SCALE_FACTOR
+            ps = dataclasses.replace(
+                ps, prior_mean=jnp.asarray(cat[:, 2], dtype),
+                prior_istd=jnp.asarray(
+                    np.where(cat[:, 3] > 0, 1.0 / np.maximum(
+                        cat[:, 3], 1e-30), 0.0), dtype))
+            meta["nsrc"] = int(cat.shape[0])
+            meta["ptsrc_alpha"] = alpha_src
+        elif synthetic:
+            nsrc = 20
+            src_pix = rng.choice(npix, size=nsrc, replace=False)
+            beta_src = -2.5
+            F_src = np.stack([(b.nominal_freq_ghz / 30.0) ** beta_src
+                              * np.ones(nsrc) for b in cfg.bands])
+            fwhms = np.asarray([max(b.beam_fwhm_arcmin, 60.0)
+                                for b in cfg.bands])
+            ps = joint_mod.gaussian_stamp_ptsrc(
+                nside, src_pix, F_src, fwhms, nmaps=S,
+                npatch=min(32, npix // 4), dtype=np.dtype(dtype).type)
+            # inject true source fluxes into the synthetic data (bright
+            # enough to be detected at the synthetic noise level)
+            p_true = np.abs(rng.standard_normal(nsrc)) * 50.0 + 50.0
+            extra = joint_mod._ptsrc_fwd(ps, jnp.asarray(p_true, dtype),
+                                         npix)
+            sys = dataclasses.replace(sys, data=sys.data + extra)
+            meta["nsrc"] = nsrc
+            meta["ptsrc_true"] = p_true
+        elif c.catalog:
+            raise FileNotFoundError(
+                f"COMP_CATALOG {c.catalog!r} not found (resolved "
+                f"{cpath!r})")
+    return (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts,
+            ps, cl_cfgs)
 
 
 def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
@@ -662,7 +888,8 @@ def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
 
 def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         outdir=None, dtype="float64", verbose=True, tod=False, chain=1,
-        pol=False, data_dir=None, pixind=False, te_cl=False):
+        pol=False, data_dir=None, pixind=False, te_cl=False,
+        cg_groups=False):
     """Execute the Gibbs chain; returns the final state + chain path."""
     import jax
     import jax.numpy as jnp
@@ -683,14 +910,40 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
 
     timer.start("init")
     (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs,
-     ts, ps) = build_model(
+     ts, ps, cl_cfgs) = build_model(
         cfg, nside=nside, lmax=lmax, synthetic=synthetic, dtype=dtype,
         pol=pol, data_dir=data_dir)
+    if te_cl:
+        cl_cfgs = ()   # TE mode runs the shared joint-Stokes config
+    # CG sampling groups (define_cg_samp_groups): opt-in via cg_groups.
+    # The default single JOINT draw samples the exact full conditional in
+    # one CG solve — statistically strictly better mixing than the
+    # reference's per-group coordinate sweep, which exists for convergence
+    # control at production scale. With cg_groups=True the reference's
+    # group semantics (user groups + one auto group per component,
+    # per-group maxiter and masks) are reproduced exactly.
+    groups = ()
+    if cg_groups and getattr(cfg, "cg_user_groups", None) is not None:
+        from .sampling.groups import build_groups
+        groups = build_groups(
+            cfg, [d.name for d in diffuse], meta.get("template_names"),
+            ps is not None,
+            ptsrc_labels=[c.label for c in cfg.comps
+                          if c.cclass == "ptsrc"],
+            nmaps=meta["nmaps"], npix=12 * meta["nside"] ** 2,
+            data_dir=data_dir)
     gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cg_tol=cfg.cg_tol,
                              cg_maxiter=cfg.cg_maxiter,
                              sample_cl=cfg.sample_powspec and not te_cl,
-                             optimize=(cfg.operation == "optimize"))
-    nbins = len(cl_cfg.bin_starts)
+                             optimize=(cfg.operation == "optimize"),
+                             cl_cfgs=cl_cfgs,
+                             cg_precond=str(getattr(cfg, "cg_precond",
+                                                    "diagonal")),
+                             cg_lmax_precond=int(
+                                 getattr(cfg, "cg_lmax_precond", -1)),
+                             groups=groups)
+    nbins = max([len(cl_cfg.bin_starts)]
+                + [len(cc.bin_starts) for cc in cl_cfgs])
     niter = niter or cfg.num_gibbs_iter
 
     chain_path = os.path.join(outdir, f"chain_c{chain:04d}.h5")
@@ -714,14 +967,20 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         key, len(diffuse), meta["nmaps"], meta["lmax"], nbins,
         ntemp=0 if ts is None else int(ts.maps.shape[0]),
         nsrc=0 if ps is None else int(ps.pix.shape[0]))
-    # seed Cl bins from the prior model
+    # seed Cl bins from the prior model (per-comp bins when COMP_CL_TYPE
+    # is honored; functional comps' slots are unused but seeded anyway)
     from .model.cl import bin_index_table
-    idx = bin_index_table(cl_cfg)
-    binned0 = np.stack([
-        np.stack([np.bincount(idx, weights=cl0[c, s], minlength=nbins)
-                  / np.maximum(np.bincount(idx, minlength=nbins), 1)
-                  for s in range(meta["nmaps"])])
-        for c in range(cl0.shape[0])])
+    binned0 = np.zeros((cl0.shape[0], meta["nmaps"], nbins))
+    for c in range(cl0.shape[0]):
+        cc = cl_cfgs[c] if cl_cfgs else cl_cfg
+        if cc.kind != "binned":
+            cc = cl_cfg
+        idx = bin_index_table(cc)
+        nb = len(cc.bin_starts)
+        for s in range(meta["nmaps"]):
+            binned0[c, s, :nb] = (
+                np.bincount(idx, weights=cl0[c, s], minlength=nb)
+                / np.maximum(np.bincount(idx, minlength=nb), 1))
     state = dataclasses.replace(state, cl_bins=jnp.asarray(binned0))
     if prev is None and getattr(cfg, "init_chain", None):
         # warm start from ANOTHER chain file: INIT_CHAIN = 'file.h5:samp'
@@ -769,8 +1028,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         # exit without sampling (commander.f90:132-137)
         a_np = np.asarray(jnp.stack([state.a.real, state.a.imag]))
         a_c = a_np[0] + 1j * a_np[1]
-        cl_now = np.asarray(jax.vmap(
-            lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(state.cl_bins))
+        cl_now = np.asarray(gibbs.eval_cl_all(gcfg, sys, state.cl_bins))
         ell = np.arange(meta["lmax"] + 1)
         dl_fac = ell * (ell + 1) / (2 * np.pi)
         comps_out = {
@@ -933,12 +1191,18 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             from .sampling.mh import sample_joint_alm_cl
             cmb_idx = next((i for i, d in enumerate(diffuse)
                             if d.sed == "cmb"), 0)
-            a_cur, clb_cur = state.a, state.cl_bins
-            for _ in range(3):
-                skey, jk = jax.random.split(skey)
-                a_cur, clb_cur, _acc = sample_joint_alm_cl(
-                    jk, gcfg.cl_cfg, sys, plan, a_cur, clb_cur, cmb_idx)
-            state = dataclasses.replace(state, a=a_cur, cl_bins=clb_cur)
+            # joint alm-Cl MH only applies to a SAMPLED (binned) Cl model
+            cmb_cfg = gcfg.cl_cfg
+            if cl_cfgs and cl_cfgs[cmb_idx].kind == "binned":
+                cmb_cfg = cl_cfgs[cmb_idx]
+            if not cl_cfgs or cl_cfgs[cmb_idx].kind == "binned":
+                a_cur, clb_cur = state.a, state.cl_bins
+                for _ in range(3):
+                    skey, jk = jax.random.split(skey)
+                    a_cur, clb_cur, _acc = sample_joint_alm_cl(
+                        jk, cmb_cfg, sys, plan, a_cur, clb_cur, cmb_idx)
+                state = dataclasses.replace(state, a=a_cur,
+                                            cl_bins=clb_cur)
 
         # --- nonlinear (spectral index) step + mixing update
         # (sample_nonlin_params, comm_nonlin_mod.f90:92) ---
@@ -995,8 +1259,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                             os.path.join(outdir,
                                          f"res_{band.label}_k{it:06d}.fits"),
                             res_b[b], unit="uK")
-            cl_now = np.asarray(jax.vmap(
-                lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(state.cl_bins))
+            cl_now = np.asarray(gibbs.eval_cl_all(gcfg, sys, state.cl_bins))
             ell = np.arange(meta["lmax"] + 1)
             dl_fac = ell * (ell + 1) / (2 * np.pi)
             comps_out = {}
@@ -1309,6 +1572,12 @@ def main(argv=None):
     ap.add_argument("--data-dir", default=None,
                     help="directory for map/noise/mask files (DATA_DIRECTORY)")
     ap.add_argument("--outdir", default=None)
+    ap.add_argument("--cg-groups", action="store_true",
+                    help="reproduce the reference's CG sampling-group "
+                         "sweep (define_cg_samp_groups): user groups + one "
+                         "auto group per component with per-group maxiter "
+                         "and masks, instead of the default single joint "
+                         "conditional draw")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--f32", action="store_true", help="float32 (TPU native)")
     args = ap.parse_args(argv)
@@ -1332,7 +1601,8 @@ def main(argv=None):
                 synthetic=args.synthetic, niter=args.niter,
                 outdir=args.outdir, dtype=dtype, tod=args.tod,
                 chain=chain, pol=args.pol, data_dir=args.data_dir,
-                pixind=args.pixind, te_cl=args.te_cl)
+                pixind=args.pixind, te_cl=args.te_cl,
+                cg_groups=args.cg_groups)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,304 @@
+"""Every honored parameter-file key demonstrably changes behavior.
+
+VERDICT round-1 item 4: COMP_CL_TYPE, CG sampling groups, CG_PRECOND_TYPE,
+BAND_BEAM_B_L_FILE, BAND_NOISE_FORMAT=QUcov, template/relquad components,
+and point-source catalogs must be driven from the parameter file with a
+test per key."""
+import os
+
+import numpy as np
+import pytest
+
+REF_PARAM = "/root/reference/tutorial/param_tutorial.txt"
+
+
+def _cfg():
+    from commander_tpu.io.params import Params, lower_params
+    return lower_params(Params.load(REF_PARAM))
+
+
+pytestmark = pytest.mark.skipif(not os.path.exists(REF_PARAM),
+                                reason="reference absent")
+
+
+def test_comp_cl_types_parsed_and_lowered():
+    cfg = _cfg()
+    from commander_tpu.run import build_model
+    out = build_model(cfg, nside=8, lmax=16, synthetic=True)
+    cl_cfgs, cl0 = out[-1], out[5]
+    kinds = [c.kind for c in cl_cfgs]
+    # tutorial: cmb power_law, synch/dust gauss, ff power_law_gauss,
+    # ame power_law
+    assert kinds == ["power_law", "gauss", "gauss", "power_law_gauss",
+                     "power_law"]
+    # gauss = amp * max(exp(-l(l+1) sig(FWHM arcmin)^2), 1e-10)
+    # (updateGaussian, comm_Cl_mod.f90:292-314): synch has amp 1e3,
+    # beta=60 arcmin
+    ell = 10
+    sig = 60.0 * (np.pi / 180 / 60) / np.sqrt(8 * np.log(2))
+    dl = 1e3 * np.exp(-ell * (ell + 1) * sig**2)
+    expect = 2 * np.pi * dl / (ell * (ell + 1))
+    assert np.isclose(cl0[1, 0, ell], expect, rtol=1e-5)
+    # power_law_gauss carries the fixed 90-arcmin cutoff
+    sig90 = 90.0 * (np.pi / 180 / 60) / np.sqrt(8 * np.log(2))
+    lpiv, amp_ff, beta_ff = 30, 1e2, -0.5   # check against the raw keys
+    from commander_tpu.io.params import Params
+    p = Params.load(REF_PARAM)
+    amp_ff = float(p.get_indexed("COMP_CL_DEFAULT_AMP_T", 6))
+    beta_ff = float(p.get_indexed("COMP_CL_DEFAULT_BETA_T", 6))
+    lpiv = int(p.get_indexed("COMP_CL_L_PIVOT", 6))
+    dl_ff = amp_ff * (ell / lpiv) ** beta_ff * max(
+        np.exp(-ell * (ell + 1) * sig90**2), 1e-10)
+    assert np.isclose(cl0[3, 0, ell], 2 * np.pi * dl_ff / (ell * (ell + 1)),
+                      rtol=1e-5)
+
+
+def test_fixed_cl_types_not_resampled():
+    # functional Cl kinds are static priors: a Gibbs step must leave their
+    # evaluated spectra unchanged (sample_Cls_powlaw is empty in the
+    # reference)
+    import jax
+    from commander_tpu.run import build_model
+    from commander_tpu.sampling import gibbs
+
+    cfg = _cfg()
+    cfg.sample_powspec = True
+    (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps,
+     cl_cfgs) = build_model(cfg, nside=8, lmax=16, synthetic=True)
+    gcfg = gibbs.GibbsConfig(cl_cfg=cl_cfg, cl_cfgs=cl_cfgs, cg_maxiter=10)
+    nbins = max(len(cc.bin_starts) for cc in cl_cfgs)
+    state = gibbs.init_state(jax.random.PRNGKey(0), len(diffuse),
+                             meta["nmaps"], meta["lmax"], nbins)
+    cl_before = np.asarray(gibbs.eval_cl_all(gcfg, sys, state.cl_bins))
+    new_bins = gibbs.sample_cl_all(gcfg, jax.random.PRNGKey(1), state.a,
+                                   state.cl_bins)
+    cl_after = np.asarray(gibbs.eval_cl_all(gcfg, sys, new_bins))
+    # all tutorial diffuse comps are functional -> nothing changes
+    assert np.allclose(cl_before, cl_after)
+
+
+def test_cl_bin_file_roundtrip(tmp_path):
+    from commander_tpu.model.cl import read_cl_bin_file
+    p = tmp_path / "bins.dat"
+    p.write_text("# l1 l2 stat\n0 1 SSS0S0\n2 9 S00000\n10 20 MMMMMM\n")
+    starts, sample = read_cl_bin_file(str(p), 16)
+    assert starts == (0, 2, 10)
+    assert sample[0].tolist() == [True, False, False]   # TT,EE,BB cols
+    assert sample[1].tolist() == [True, False, False]
+    assert sample[2].tolist() == [True, True, True]
+
+
+def test_cg_groups_built_from_tutorial():
+    from commander_tpu.run import build_model
+    from commander_tpu.sampling.groups import build_groups
+    cfg = _cfg()
+    out = build_model(cfg, nside=8, lmax=16, synthetic=True)
+    diffuse, meta, ps = out[2], out[6], out[10]
+    groups = build_groups(cfg, [d.name for d in diffuse],
+                          meta.get("template_names"), ps is not None,
+                          ptsrc_labels=["radio"], nmaps=1,
+                          npix=12 * 64)
+    names = [g.name for g in groups]
+    # user group 'cmb' + one auto group per component
+    assert names[0] == "cmb"
+    assert groups[0].maxiter == 50          # CG_SAMPLING_GROUP_MAXITER01
+    assert set(names[1:]) == {"cmb", "synch", "dust", "ff", "ame", "md",
+                              "radio", "relquad"}
+    synch = next(g for g in groups[1:] if g.name == "synch")
+    assert synch.maxiter == 40              # COMP_CG_SAMP_GROUP_MAXITER02
+    cmb_auto = next(g for g in groups[1:] if g.name == "cmb")
+    assert cmb_auto.maxiter == 150          # cmb default
+    md = next(g for g in groups if g.name == "md")
+    assert len(md.temp_idx) == 12 and not md.comp_idx
+
+
+def test_grouped_sweep_matches_conditional():
+    # a single-comp group solve must equal the conditional solve of that
+    # component given the others (residual-subtracted single-comp system)
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from commander_tpu.sampling import amplitude as amp
+    from commander_tpu.sampling.groups import (SampGroup,
+                                               sample_amplitudes_grouped)
+    from commander_tpu.sphere import sht
+
+    nside, lmax, B, C = 8, 16, 3, 2
+    npix, nl = 12 * nside * nside, lmax + 1
+    rng = np.random.default_rng(3)
+    plan = sht.get_plan(nside, lmax)
+    F = jnp.asarray(1.0 + rng.uniform(0, 1, (B, C)))
+    bl = jnp.asarray(np.ones((B, 1, nl)))
+    rms = jnp.asarray(rng.uniform(1, 2, (B, 1, npix)))
+    cl = jnp.asarray(np.ones((C, 1, nl)))
+    data = jnp.asarray(rng.normal(0, 1, (B, 1, npix)))
+    sys = amp.build_system(F, bl, rms, cl, data)
+    a0 = jnp.asarray(rng.normal(0, 1, (C, 1, nl, nl))
+                     + 1j * rng.normal(0, 1, (C, 1, nl, nl)))
+    from commander_tpu.sphere.alm import triangle_mask, real_m0
+    a0 = real_m0(a0 * jnp.asarray(triangle_mask(nl, nl)))
+
+    groups = (SampGroup(name="c0", comp_idx=(0,), maxiter=200),)
+    a_g, _, _, res = sample_amplitudes_grouped(
+        groups, sys, plan, a0, None, None, None, None, key=None, tol=1e-10)
+    # manual conditional: subtract comp-1 signal, solve comp-0 system
+    sub = dataclasses.replace(sys, F=sys.F[:, 1:])
+    sky1 = amp._synth(plan, amp._project_bands(sub, plan, a0[1:]))
+    sys0 = dataclasses.replace(sys, F=sys.F[:, :1], cl=sys.cl[:1],
+                               data=sys.data - sky1)
+    a_ref, _ = amp.sample_amplitudes(sys0, plan, key=None, tol=1e-10,
+                                     maxiter=200)
+    assert np.allclose(np.asarray(a_g[0]), np.asarray(a_ref[0]),
+                       atol=1e-6)
+    # the non-member amplitude is untouched
+    assert np.allclose(np.asarray(a_g[1]), np.asarray(a0[1]))
+
+
+def test_beam_bl_file_consumed(tmp_path):
+    # BAND_BEAM_B_L_FILE must change the system's beams
+    from commander_tpu.io.fits import write_map
+    from commander_tpu.run import build_model
+    cfg = _cfg()
+    lmax = 16
+    # write_map needs a HEALPix-sized table; load_beam_bl_fits truncates
+    # to lmax+1, so store the b_l curve in a 768-pixel column
+    bl_custom = np.exp(-0.1 * np.arange(12 * 64))   # distinctive shape
+    path = tmp_path / "bl.fits"
+    write_map(str(path), bl_custom[None, :])
+    cfg.bands[0].beamfile = str(path)
+    out = build_model(cfg, nside=8, lmax=lmax, synthetic=True,
+                      data_dir=str(tmp_path))
+    sys = out[1]
+    from commander_tpu.instrument.beam import pixel_window
+    pw = pixel_window(8, lmax)
+    assert np.allclose(np.asarray(sys.bl[0, 0]),
+                       bl_custom[: lmax + 1] * pw, rtol=1e-5)
+    # missing beam file in a REAL (non-synthetic) run is an error
+    cfg.bands[0].beamfile = "no_such_beam.fits"
+    cfg.bands[0].mapfile = None
+    cfg.bands[0].noisefile = None
+    with pytest.raises(FileNotFoundError):
+        build_model(cfg, nside=8, lmax=lmax, synthetic=False,
+                    data_dir=str(tmp_path))
+
+
+def test_qucov_noise_format(tmp_path):
+    # BAND_NOISE_FORMAT = QUcov reads per-pixel (rmsT, NQQ, NQU, NUU) and
+    # sets the 2x2 QU blocks of invN
+    from commander_tpu.io.fits import write_map
+    from commander_tpu.run import build_model
+    cfg = _cfg()
+    nside, npix = 8, 12 * 64
+    rng = np.random.default_rng(0)
+    for b in cfg.bands:
+        b.polarized = True
+        b.maskfile = None
+        b.beamfile = None
+    for c in cfg.comps:
+        c.template_file = None
+        if c.cclass == "ptsrc":
+            c.catalog = None
+    qq = rng.uniform(1, 2, npix)
+    uu = rng.uniform(1, 2, npix)
+    qu = 0.3 * np.sqrt(qq * uu)
+    for i, b in enumerate(cfg.bands):
+        m = rng.normal(0, 1, (3, npix))
+        write_map(str(tmp_path / f"map{i}.fits"), m)
+        write_map(str(tmp_path / f"noise{i}.fits"),
+                  np.stack([np.full(npix, 2.0), qq, qu, uu]))
+        b.mapfile = f"map{i}.fits"
+        b.noisefile = f"noise{i}.fits"
+        b.noise_format = "QUcov"
+    out = build_model(cfg, nside=nside, lmax=16, synthetic=False,
+                      data_dir=str(tmp_path), pol=True)
+    sys = out[1]
+    assert sys.inv_qu is not None
+    cov = np.stack([[qq, qu], [qu, uu]]).transpose(2, 0, 1)
+    inv = np.linalg.inv(cov)
+    assert np.allclose(np.asarray(sys.inv_qu[0]), inv, rtol=1e-4)
+
+
+def test_relquad_and_template_in_model():
+    from commander_tpu.run import build_model
+    cfg = _cfg()
+    out = build_model(cfg, nside=8, lmax=16, synthetic=True)
+    ts, meta = out[9], out[6]
+    names = meta["template_names"]
+    assert "relquad" in names
+    # relquad row: pure quadrupole shape, frequency-scaled per band
+    i = names.index("relquad")
+    row = np.asarray(ts.maps[i])           # (B, S, P)
+    assert np.abs(row[:, 0]).max() > 0
+    # amplitude pinned at prior mean 1 with rms 0 -> huge istd
+    assert float(ts.prior_mean[i]) == 1.0
+    assert float(ts.prior_istd[i]) >= 1e5
+
+
+def test_ptsrc_catalog_reader(tmp_path):
+    from commander_tpu.run import build_model
+    cfg = _cfg()
+    for c in cfg.comps:
+        c.template_file = None
+    for b in cfg.bands:
+        b.mapfile = None
+        b.noisefile = None
+        b.maskfile = None
+        b.beamfile = None
+    cat = tmp_path / "cat.dat"
+    # glon glat amp amp_rms alpha beta alpha_rms beta_rms chisq id
+    cat.write_text("# header\n"
+                   "10.0  20.0  100.0  5.0  -0.3  0.0  0.1 0.1 1.0 src1\n"
+                   "200.0 -45.0  50.0  2.0   0.2  0.0  0.1 0.1 1.0 src2\n")
+    for c in cfg.comps:
+        if c.cclass == "ptsrc":
+            c.catalog = "cat.dat"
+    out = build_model(cfg, nside=8, lmax=16, synthetic=False,
+                      data_dir=str(tmp_path))
+    ps, meta = out[10], out[6]
+    assert meta["nsrc"] == 2
+    assert np.allclose(np.asarray(ps.prior_mean), [100.0, 50.0])
+    # radio SED: (nu/nu_ref)^(-2+alpha) (evalSED,
+    # comm_ptsrc_comp_mod.f90:322)
+    stamp = np.asarray(ps.stamp)
+    assert stamp.shape[2] == 2
+    assert np.isfinite(stamp).all()
+
+
+def test_cg_precond_key_dispatch():
+    # CG_PRECOND_TYPE=pseudoinv must route to the pseudoinv preconditioner
+    import jax
+    import jax.numpy as jnp
+    from commander_tpu.sampling import amplitude as amp
+    from commander_tpu.sphere import sht
+    nside, lmax, B, C = 8, 16, 2, 2
+    npix, nl = 12 * 64, 17
+    rng = np.random.default_rng(1)
+    plan = sht.get_plan(nside, lmax)
+    sys = amp.build_system(jnp.asarray(1.0 + rng.uniform(0, 1, (B, C))),
+                           jnp.asarray(np.ones((B, 1, nl))),
+                           jnp.asarray(rng.uniform(1, 2, (B, 1, npix))),
+                           jnp.asarray(np.ones((C, 1, nl))),
+                           jnp.asarray(rng.normal(0, 1, (B, 1, npix))))
+    for prec in ("diagonal", "pseudoinv"):
+        a, res = amp.sample_amplitudes(sys, plan, key=None, tol=1e-8,
+                                       maxiter=300, precond=prec)
+        assert float(res.rel_res) < 1e-7, prec
+
+
+def test_driver_cg_groups_mode(tmp_path_factory):
+    # --cg-groups: full tutorial group sweep drives the chain; chisq
+    # decreases monotonically-ish over sweeps (coordinate descent)
+    from commander_tpu.run import run
+    from commander_tpu.io.chain import ChainFile
+    cfg = _cfg()
+    cfg.sample_powspec = True
+    out = str(tmp_path_factory.mktemp("chains_groups"))
+    state, chain_path = run(cfg, nside=8, lmax=16, synthetic=True, niter=3,
+                            outdir=out, verbose=False, cg_groups=True)
+    with ChainFile(chain_path, "r") as ch:
+        assert ch.last_sample() == 3
+        s = ch.read_sample(3)
+        assert np.isfinite(float(s["aux"]["chisq"]))
+        # relquad amplitude pinned at its rms=0 prior mean
+        t_amps = np.asarray(s["aux"]["md_amps"])
+        assert abs(t_amps[-1] - 1.0) < 1e-3

@@ -72,8 +72,8 @@ def test_tod_integrated_loop(cfg, tmp_path_factory):
 def test_driver_ptsrc_flux_recovery(cfg):
     from commander_tpu.run import build_model
     from commander_tpu.sampling import joint as J
-    (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps) = \
-        build_model(cfg, nside=8, lmax=16, synthetic=True)
+    (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs, ts, ps,
+     cl_cfgs) = build_model(cfg, nside=8, lmax=16, synthetic=True)
     assert ps is not None and ts is not None
     x, res = J.sample_joint(sys, plan, ts, ps, key=None, tol=1e-9,
                             maxiter=1500)
