@@ -1,16 +1,35 @@
-"""Pallas TPU kernel: fused on-the-fly Legendre synthesis.
+"""Pallas TPU kernels: fused on-the-fly Legendre synthesis / adjoint.
 
 The performance core of the large-lmax SHT (see sht_otf.py for the
-XLA-level version): for each (ring-block, m-block) tile the kernel runs
-the full scaled three-term recurrence over l INSIDE the kernel — carries
-(lambda_{l-1}, lambda_l, block exponents) live in VMEM/registers for the
-whole l-loop instead of round-tripping through HBM per scan step, and the
-per-l accumulation F += a_l * lambda_l fuses into the same loop. Emits the
-even/odd (l+m)-parity accumulators from which north/south hemisphere ring
-spectra follow (F_n = Fe + Fo, F_s = Fe - Fo).
+XLA-level version). The table path streams a (nh, nl, nm) Lambda table
+from HBM — 34 GB at nside 1024 / lmax 2048, beyond one chip — and the
+XLA OTF path regenerates Lambda by recurrence but round-trips every
+(nh, nm) carry and every (L, nh, nm) Lambda block through HBM. Here the
+whole pipeline is fused on-chip:
 
-Correctness is pinned against the host Wigner tables (tests run the
-interpret path; the compiled path shares the same kernel body).
+  * grid (ring-blocks, m-blocks, l-chunks); the scaled three-term
+    recurrence carries (lambda_{l-1}, lambda_l, block exponents) live in
+    VMEM scratch that persists across the innermost l-chunk axis — no
+    HBM traffic for the recurrence at all;
+  * the batch of alm vectors is processed INSIDE the kernel, so the
+    recurrence cost is amortized over the whole batch (the XLA path and
+    the earlier vmap-of-kernel design paid it per batch element);
+  * per l the accumulation F_{n,s} += a_l * lambda_l fuses into the
+    recurrence loop; north/south hemisphere spectra accumulate directly
+    (lambda(pi-theta) = (-1)^(l+m) lambda(theta));
+  * l-chunks entirely below an m-block's first m are skipped (the
+    triangular (l >= m) structure — half the nominal work);
+  * the sqrt((2l+1)/4pi) normalization is folded into the recurrence
+    coefficients host-side (_coeff_pack), removing a per-l multiply.
+
+Numerical scaling matches sht_otf._rec_step exactly, including the
+emergence-boundary fix: after a rescale the carried lambda_l keeps the
+*incremented* exponent (prev_e <- new_e), otherwise the beta*prev term is
+double-scaled on the next step (this was the round-1 compiled-mode
+corruption: the kernel carried the stale exponent).
+
+Reference: libsharp's on-the-fly recurrence (SURVEY §2.3); the Y/Yt pair
+of comm_map_mod.f90:437-530 at scale.
 """
 from __future__ import annotations
 
@@ -25,13 +44,123 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sht_otf import _SCALE_POW, LegendreOTF
 
+_INTERPRET = False  # set True to force interpret mode (tests on CPU)
 
-def _synth_kernel(nl: int, lmax: int, mp: int,
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _coeff_pack(nside: int, lmax: int, mp: int, mmax: int,
+                block_h: int, block_m: int, block_l: int):
+    """Host-side padded recurrence coefficients with the per-l norm
+    sqrt((2l+1)/4pi) folded in: lamhat_l = norm_l * d^l_{m,mp} obeys
+      lamhat_{l+1} = (Ahat_l x + Bhat_l) lamhat_l - betahat_l lamhat_{l-1}
+    with Ahat = A n_{l+1}/n_l, betahat = beta n_{l+1}/n_{l-1} and seeds
+    premultiplied by n_{l0(m)}."""
+    from scipy.special import gammaln
+    from . import healpix
+
+    nm = mmax + 1
+    g = healpix.ring_geometry(nside)
+    nh = 2 * nside
+    th = g.theta[:nh]
+    cth2, sth2 = np.cos(th / 2.0), np.sin(th / 2.0)
+    m = np.arange(nm, dtype=np.float64)[None, :]
+    amp = abs(mp)
+
+    with np.errstate(divide="ignore"):
+        lc, ls = np.log(cth2)[:, None], np.log(sth2)[:, None]
+    hi = m >= amp
+    logc_hi = 0.5 * (gammaln(2 * m + 1) - gammaln(m + mp + 1)
+                     - gammaln(m - mp + 1))
+    logv_hi = logc_hi + (m + mp) * lc + (m - mp) * ls
+    sign_hi = np.broadcast_to((-1.0) ** (m - mp), logv_hi.shape)
+    logc_lo = 0.5 * (gammaln(2 * amp + 1) - gammaln(amp + m + 1)
+                     - gammaln(amp - m + 1))
+    if mp > 0:
+        logv_lo = logc_lo + (mp + m) * lc + (mp - m) * ls
+        sign_lo = np.ones_like(logv_hi)
+    else:
+        logv_lo = logc_lo + (amp - m) * lc + (amp + m) * ls
+        sign_lo = np.broadcast_to((-1.0) ** (amp + m), logv_hi.shape)
+    logv = np.where(hi, logv_hi, logv_lo)
+    sign = np.where(hi, sign_hi, sign_lo)
+    # fold the seed norm n_{l0} with l0 = max(m, |mp|)
+    l0 = np.maximum(m, amp)
+    logv = logv + 0.5 * np.log((2 * l0 + 1) / (4 * np.pi))
+    lbig = _SCALE_POW * np.log(2.0)
+    seed_exp = np.minimum(np.ceil(logv / lbig), 0.0)
+    seed_mant = sign * np.exp(logv - seed_exp * lbig)
+    bad = ~np.isfinite(logv)
+    seed_mant[bad] = 0.0
+    seed_exp[bad] = -128.0
+
+    nl = lmax + 1
+    ell = np.arange(nl, dtype=np.float64)[:, None]
+    n_of = lambda l: np.sqrt((2 * l + 1) / (4 * np.pi))
+    r_up = n_of(ell + 1) / n_of(ell)                    # n_{l+1}/n_l
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r_skip = n_of(ell + 1) / n_of(np.maximum(ell - 1, 0))
+        wl1 = np.sqrt(np.maximum(((ell + 1) ** 2 - m**2)
+                                 * ((ell + 1) ** 2 - mp**2), 0.0)) / (ell + 1)
+        wl = np.where(ell > 0,
+                      np.sqrt(np.maximum((ell**2 - m**2) * (ell**2 - mp**2),
+                                         0.0)) / np.maximum(ell, 1), 0.0)
+        A = (2 * ell + 1) / wl1 * r_up
+        Bc = -(2 * ell + 1) * (m * mp) / np.maximum(ell * (ell + 1), 1) \
+            / wl1 * r_up
+        beta = wl / wl1 * r_skip
+    for arr in (A, Bc, beta):
+        arr[~np.isfinite(arr)] = 0.0
+
+    nh_p = _rup(nh, block_h)
+    nm_p = _rup(nm, block_m)
+    nl_p = _rup(nl, block_l)
+    padm = lambda a: np.pad(a, ((0, nh_p - a.shape[0]),
+                                (0, nm_p - a.shape[1])))
+    padl = lambda a: np.pad(a, ((0, nl_p - a.shape[0]),
+                                (0, nm_p - a.shape[1])))
+    # host numpy (not device arrays): these are closed over inside user
+    # jits, and the axon TPU relay cannot read device buffers back to host
+    # for MLIR constant embedding (int32 readback UNIMPLEMENTED)
+    f32 = lambda a: np.ascontiguousarray(a.astype(np.float32))
+    return (f32(padm(seed_mant)),
+            np.ascontiguousarray(padm(seed_exp).astype(np.int32)),
+            f32(padl(A)), f32(padl(Bc)), f32(padl(beta)),
+            f32(np.pad(g.z[:nh], (0, nh_p - nh))[:, None]))
+
+
+def _emit(cur, cur_e, bigi):
+    """Gate the scaled mantissa: representable iff exponent in {0,-1,-2}."""
+    return jnp.where(cur_e == 0, cur,
+                     jnp.where(cur_e == -1, cur * bigi,
+                               jnp.where(cur_e == -2, cur * (bigi * bigi),
+                                         0.0)))
+
+
+def _rec_advance(cur, cur_e, prev, prev_e, alpha, beta_l, big, bigi):
+    """One scaled recurrence step l -> l+1 (shared by both kernels)."""
+    de = prev_e - cur_e
+    sc = jnp.where(de == 0, 1.0, jnp.where(de <= -1, bigi, big))
+    sc = jnp.where(de <= -2, 0.0, sc)
+    new = alpha * cur - beta_l * prev * sc
+    grow = jnp.abs(new) > big
+    new = jnp.where(grow, new * bigi, new)
+    cur_sc = jnp.where(grow, cur * bigi, cur)
+    # emergence-boundary fix: the rescaled cur carries the incremented
+    # exponent into the next step's prev_e (sht_otf.py:160-166)
+    new_e = cur_e + grow.astype(jnp.int32)
+    return cur_sc, new_e, new, new_e
+
+
+def _synth_kernel(mp: int, BH: int, BM: int, LC: int,
                   seed_m_ref, seed_e_ref, A_ref, B_ref, beta_ref, x_ref,
-                  norm_ref,
                   a_re_ref, a_im_ref,
-                  fe_re_ref, fe_im_ref, fo_re_ref, fo_im_ref):
-    BH, BM = seed_m_ref.shape
+                  fn_re_ref, fn_im_ref, fs_re_ref, fs_im_ref,
+                  prev_s, pe_s, cur_s, ce_s):
+    k = pl.program_id(2)
     big = jnp.float32(2.0 ** _SCALE_POW)
     bigi = jnp.float32(2.0 ** -_SCALE_POW)
     x = x_ref[:, 0:1]                                   # (BH, 1)
@@ -39,227 +168,227 @@ def _synth_kernel(nl: int, lmax: int, mp: int,
         jnp.int32, (BH, BM), 1)
     m_par = 1.0 - 2.0 * (m_ids % 2).astype(jnp.float32)  # (-1)^m
 
-    def body(l, carry):
-        prev, prev_e, cur, cur_e, ac_er, ac_ei, ac_or, ac_oi = carry
-        start = jnp.maximum(m_ids, abs(mp)) == l
-        cur = jnp.where(start, seed_m_ref[:, :], cur)
-        cur_e = jnp.where(start, seed_e_ref[:, :], cur_e)
-        prev = jnp.where(start, 0.0, prev)
-        prev_e = jnp.where(start, 0, prev_e)
-        emit = jnp.where(cur_e == 0, cur,
-                         jnp.where(cur_e == -1, cur * bigi,
-                                   jnp.where(cur_e == -2,
-                                             cur * (bigi * bigi), 0.0)))
-        emit = emit * norm_ref[l, 0]
-        # accumulate F += a_l * lambda_l into parity accumulators
-        a_re = a_re_ref[l, :]                            # (BM,)
-        a_im = a_im_ref[l, :]
-        l_par = 1.0 - 2.0 * jnp.float32(l % 2)
-        even = 0.5 * (1.0 + l_par * m_par)               # (BH, BM)
-        we = even * emit
-        wo = emit - we
-        ac_er = ac_er + we * a_re[None, :]
-        ac_ei = ac_ei + we * a_im[None, :]
-        ac_or = ac_or + wo * a_re[None, :]
-        ac_oi = ac_oi + wo * a_im[None, :]
-        # recurrence l -> l+1
-        alpha = A_ref[l, :][None, :] * x + B_ref[l, :][None, :]
-        de = prev_e - cur_e
-        sc = jnp.where(de == 0, 1.0, jnp.where(de <= -1, bigi, big))
-        sc = jnp.where(de <= -2, 0.0, sc)
-        new = alpha * cur - beta_ref[l, :][None, :] * prev * sc
-        grow = jnp.abs(new) > big
-        new = jnp.where(grow, new * bigi, new)
-        cur_sc = jnp.where(grow, cur * bigi, cur)
-        new_e = cur_e + grow.astype(jnp.int32)
-        return (cur_sc, cur_e, new, new_e, ac_er, ac_ei, ac_or, ac_oi)
+    @pl.when(k == 0)
+    def _init():
+        z = jnp.zeros_like(prev_s)
+        prev_s[...] = z
+        cur_s[...] = z
+        pe_s[...] = jnp.zeros_like(pe_s)
+        ce_s[...] = jnp.full_like(ce_s, -128)
+        for r in (fn_re_ref, fn_im_ref, fs_re_ref, fs_im_ref):
+            r[...] = jnp.zeros_like(r)
 
-    z = jnp.zeros((BH, BM), jnp.float32)
-    zi = jnp.zeros((BH, BM), jnp.int32)
-    init = (z, zi, z, jnp.full((BH, BM), -128, jnp.int32), z, z, z, z)
-    out = jax.lax.fori_loop(0, nl, body, init)
-    _, _, _, _, ac_er, ac_ei, ac_or, ac_oi = out
-    fe_re_ref[:, :] = ac_er
-    fe_im_ref[:, :] = ac_ei
-    fo_re_ref[:, :] = ac_or
-    fo_im_ref[:, :] = ac_oi
+    # skip l-chunks entirely below this m-block's first m (triangular)
+    run = (k + 1) * LC > pl.program_id(1) * BM
+
+    @pl.when(run)
+    def _work():
+        def body(i_loc, carry):
+            prev, prev_e, cur, cur_e = carry
+            l = k * LC + i_loc
+            start = jnp.maximum(m_ids, abs(mp)) == l
+            cur2 = jnp.where(start, seed_m_ref[...], cur)
+            cur_e2 = jnp.where(start, seed_e_ref[...], cur_e)
+            prev2 = jnp.where(start, 0.0, prev)
+            prev_e2 = jnp.where(start, 0, prev_e)
+            lam = _emit(cur2, cur_e2, bigi)              # (BH, BM)
+            l_par = 1.0 - 2.0 * (l % 2).astype(jnp.float32)
+            lam_s = lam * (l_par * m_par)
+            a_re = a_re_ref[:, i_loc, :]                 # (B, BM)
+            a_im = a_im_ref[:, i_loc, :]
+            fn_re_ref[...] += lam[None] * a_re[:, None, :]
+            fn_im_ref[...] += lam[None] * a_im[:, None, :]
+            fs_re_ref[...] += lam_s[None] * a_re[:, None, :]
+            fs_im_ref[...] += lam_s[None] * a_im[:, None, :]
+            alpha = A_ref[i_loc, :][None, :] * x + B_ref[i_loc, :][None, :]
+            return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
+                                beta_ref[i_loc, :][None, :], big, bigi)
+
+        out = jax.lax.fori_loop(
+            0, LC, body, (prev_s[...], pe_s[...], cur_s[...], ce_s[...]))
+        prev_s[...], pe_s[...], cur_s[...], ce_s[...] = out
 
 
 def synth_legendre_pallas(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
-                          block_h: int = 64, block_m: int = 128,
-                          interpret: bool = False):
-    """alm (nl, nm) complex64 -> (F_n, F_s) (nh, nm) complex64.
+                          block_h: int = 128, block_m: int = 128,
+                          block_l: int = 128, interpret: bool = False,
+                          max_b: int = 8):
+    """alm (..., nl, nm) complex64 -> (F_n, F_s) (..., nh, nm) complex64.
 
-    Pallas version of sht_otf.synth_legendre_otf (single map; vmap for
-    batches). Pads (nh, nm) up to block multiples."""
+    Batched Pallas version of sht_otf.synth_legendre_otf; the batch is
+    processed inside the kernel in groups of max_b."""
+    nside = nh // 2
     nl = otf.lmax + 1
     nm = otf.mmax + 1
-    nh_p = -(-nh // block_h) * block_h
-    nm_p = -(-nm // block_m) * block_m
+    block_h = min(block_h, _rup(nh, 8))
+    block_m = min(block_m, _rup(nm, 128))
+    block_l = min(block_l, _rup(nl, 8))
+    seeds, seede, A, B, beta, x = _coeff_pack(
+        nside, otf.lmax, otf.mp, otf.mmax, block_h, block_m, block_l)
+    nh_p, nm_p = seeds.shape
+    nl_p = A.shape[0]
 
-    padm = lambda a2: jnp.pad(a2, ((0, nh_p - a2.shape[0]),
-                                   (0, nm_p - a2.shape[1])))
-    padl = lambda a2: jnp.pad(a2, ((0, 0), (0, nm_p - a2.shape[1])))
-    seeds = padm(otf.seed_mant.astype(jnp.float32))
-    seede = padm(otf.seed_exp)
-    A = padl(otf.A.astype(jnp.float32))
-    B = padl(otf.Bc.astype(jnp.float32))
-    beta = padl(otf.beta.astype(jnp.float32))
-    x = jnp.pad(otf.x.astype(jnp.float32), (0, nh_p - nh))[:, None]
-    norm = otf.norm.astype(jnp.float32)[:, None]
-    a_re = padl(alm.real.astype(jnp.float32))
-    a_im = padl(alm.imag.astype(jnp.float32))
+    batch = alm.shape[:-2]
+    a2 = alm.reshape((-1, nl, nm))
+    Btot = a2.shape[0]
 
-    grid = (nh_p // block_h, nm_p // block_m)
-    bs = pl.BlockSpec((block_h, block_m), lambda i, j: (i, j))
-    bs_l = pl.BlockSpec((nl, block_m), lambda i, j: (0, j))
-    bs_x = pl.BlockSpec((block_h, 1), lambda i, j: (i, 0))
-    bs_n = pl.BlockSpec((nl, 1), lambda i, j: (0, 0))
+    grid = (nh_p // block_h, nm_p // block_m, nl_p // block_l)
+    bs_hm = pl.BlockSpec((block_h, block_m), lambda i, j, k: (i, j))
+    bs_lm = pl.BlockSpec((block_l, block_m), lambda i, j, k: (k, j))
+    bs_x = pl.BlockSpec((block_h, 1), lambda i, j, k: (i, 0))
 
-    out_shape = [jax.ShapeDtypeStruct((nh_p, nm_p), jnp.float32)] * 4
-    kern = partial(_synth_kernel, nl, otf.lmax, otf.mp)
-    fe_re, fe_im, fo_re, fo_im = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[bs, bs, bs_l, bs_l, bs_l, bs_x, bs_n, bs_l, bs_l],
-        out_specs=[bs, bs, bs, bs],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(seeds, seede, A, B, beta, x, norm, a_re, a_im)
+    Fn_parts, Fs_parts = [], []
+    for b0 in range(0, Btot, max_b):
+        Bc_ = min(max_b, Btot - b0)
+        a_blk = a2[b0:b0 + Bc_]
+        a_re = jnp.pad(a_blk.real.astype(jnp.float32),
+                       ((0, 0), (0, nl_p - nl), (0, nm_p - nm)))
+        a_im = jnp.pad(a_blk.imag.astype(jnp.float32),
+                       ((0, 0), (0, nl_p - nl), (0, nm_p - nm)))
+        bs_a = pl.BlockSpec((Bc_, block_l, block_m),
+                            lambda i, j, k: (0, k, j))
+        bs_o = pl.BlockSpec((Bc_, block_h, block_m),
+                            lambda i, j, k: (0, i, j))
+        out_shape = [jax.ShapeDtypeStruct((Bc_, nh_p, nm_p), jnp.float32)] * 4
+        kern = partial(_synth_kernel, otf.mp, block_h, block_m, block_l)
+        fn_re, fn_im, fs_re, fs_im = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[bs_hm, bs_hm, bs_lm, bs_lm, bs_lm, bs_x, bs_a, bs_a],
+            out_specs=[bs_o] * 4,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((block_h, block_m), jnp.float32),
+                            pltpu.VMEM((block_h, block_m), jnp.int32),
+                            pltpu.VMEM((block_h, block_m), jnp.float32),
+                            pltpu.VMEM((block_h, block_m), jnp.int32)],
+            interpret=interpret or _INTERPRET,
+        )(seeds, seede, A, B, beta, x, a_re, a_im)
+        Fn_parts.append((fn_re + 1j * fn_im)[:, :nh, :nm])
+        Fs_parts.append((fs_re + 1j * fs_im)[:, :nh, :nm])
+    Fn = jnp.concatenate(Fn_parts, 0).reshape(batch + (nh, nm))
+    Fs = jnp.concatenate(Fs_parts, 0).reshape(batch + (nh, nm))
+    return Fn, Fs
 
-    Fe = (fe_re + 1j * fe_im)[:nh, :nm]
-    Fo = (fo_re + 1j * fo_im)[:nh, :nm]
-    return Fe + Fo, Fe - Fo
 
-
-def _adj_kernel(nl: int, lmax: int, mp: int,
+def _adj_kernel(mp: int, BH: int, BM: int, nl: int,
                 seed_m_ref, seed_e_ref, A_ref, B_ref, beta_ref, x_ref,
-                norm_ref,
-                ge_re_ref, ge_im_ref, go_re_ref, go_im_ref,
+                gn_re_ref, gn_im_ref, gs_re_ref, gs_im_ref,
                 a_re_ref, a_im_ref):
-    """Adjoint of the Legendre stage: a[l,m] += sum_r lambda_l(r) G(r,m),
-    with the even/odd (l+m)-parity split of the hemisphere sums (same
-    contraction as adjoint_legendre_otf; the l-recurrence is identical to
-    the synthesis kernel). Ring-block partial sums accumulate in the
-    revisited output block across the sequential TPU grid axis."""
-    BH, BM = seed_m_ref.shape
+    """a[l,m] = sum_r lambda_l(r) (G_n(r,m) + (-1)^(l+m) G_s(r,m)),
+    accumulated over ring blocks (innermost grid axis; the (B, nl, BM)
+    output block stays VMEM-resident per m-block)."""
     big = jnp.float32(2.0 ** _SCALE_POW)
     bigi = jnp.float32(2.0 ** -_SCALE_POW)
     x = x_ref[:, 0:1]
-    m_ids = pl.program_id(0) * BM + jax.lax.broadcasted_iota(
-        jnp.int32, (BH, BM), 1)
+    j = pl.program_id(0)
+    m_ids = j * BM + jax.lax.broadcasted_iota(jnp.int32, (BH, BM), 1)
     m_par = 1.0 - 2.0 * (m_ids % 2).astype(jnp.float32)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        a_re_ref[:, :] = jnp.zeros_like(a_re_ref)
-        a_im_ref[:, :] = jnp.zeros_like(a_im_ref)
+        a_re_ref[...] = jnp.zeros_like(a_re_ref)
+        a_im_ref[...] = jnp.zeros_like(a_im_ref)
 
-    ge_re = ge_re_ref[:, :]
-    ge_im = ge_im_ref[:, :]
-    go_re = go_re_ref[:, :]
-    go_im = go_im_ref[:, :]
+    gn_re, gn_im = gn_re_ref[...], gn_im_ref[...]        # (B, BH, BM)
+    gs_re, gs_im = gs_re_ref[...], gs_im_ref[...]
+    gs_re_m = gs_re * m_par[None]
+    gs_im_m = gs_im * m_par[None]
 
     def body(l, carry):
         prev, prev_e, cur, cur_e = carry
         start = jnp.maximum(m_ids, abs(mp)) == l
-        cur = jnp.where(start, seed_m_ref[:, :], cur)
-        cur_e = jnp.where(start, seed_e_ref[:, :], cur_e)
-        prev = jnp.where(start, 0.0, prev)
-        prev_e = jnp.where(start, 0, prev_e)
-        emit = jnp.where(cur_e == 0, cur,
-                         jnp.where(cur_e == -1, cur * bigi,
-                                   jnp.where(cur_e == -2,
-                                             cur * (bigi * bigi), 0.0)))
-        emit = emit * norm_ref[l, 0]
-        l_par = 1.0 - 2.0 * jnp.float32(l % 2)
-        even = 0.5 * (1.0 + l_par * m_par)               # (BH, BM)
-        we = even * emit
-        wo = emit - we
-        row_re = jnp.sum(we * ge_re + wo * go_re, axis=0)[None, :]
-        row_im = jnp.sum(we * ge_im + wo * go_im, axis=0)[None, :]
-        idx = (pl.dslice(l, 1), slice(None))
-        a_re_ref[idx] = a_re_ref[idx] + row_re
-        a_im_ref[idx] = a_im_ref[idx] + row_im
-        # recurrence l -> l+1
+        cur2 = jnp.where(start, seed_m_ref[...], cur)
+        cur_e2 = jnp.where(start, seed_e_ref[...], cur_e)
+        prev2 = jnp.where(start, 0.0, prev)
+        prev_e2 = jnp.where(start, 0, prev_e)
+        lam = _emit(cur2, cur_e2, bigi)
+        l_par = 1.0 - 2.0 * (l % 2).astype(jnp.float32)
+        row_re = jnp.sum(lam[None] * (gn_re + l_par * gs_re_m), axis=1)
+        row_im = jnp.sum(lam[None] * (gn_im + l_par * gs_im_m), axis=1)
+        idx = (slice(None), pl.dslice(l, 1), slice(None))
+        a_re_ref[idx] += row_re[:, None, :]
+        a_im_ref[idx] += row_im[:, None, :]
         alpha = A_ref[l, :][None, :] * x + B_ref[l, :][None, :]
-        de = prev_e - cur_e
-        sc = jnp.where(de == 0, 1.0, jnp.where(de <= -1, bigi, big))
-        sc = jnp.where(de <= -2, 0.0, sc)
-        new = alpha * cur - beta_ref[l, :][None, :] * prev * sc
-        grow = jnp.abs(new) > big
-        new = jnp.where(grow, new * bigi, new)
-        cur_sc = jnp.where(grow, cur * bigi, cur)
-        new_e = cur_e + grow.astype(jnp.int32)
-        return (cur_sc, cur_e, new, new_e)
+        return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
+                            beta_ref[l, :][None, :], big, bigi)
 
     z = jnp.zeros((BH, BM), jnp.float32)
     zi = jnp.zeros((BH, BM), jnp.int32)
-    jax.lax.fori_loop(0, nl, body, (z, zi, z, jnp.full((BH, BM), -128,
-                                                       jnp.int32)))
+    l0 = jnp.minimum(j * BM, nl)                         # triangular start
+    jax.lax.fori_loop(l0, nl, body,
+                      (z, zi, z, jnp.full((BH, BM), -128, jnp.int32)))
 
 
 def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
                             F_s: jnp.ndarray, block_h: int = 64,
-                            block_m: int = 128, interpret: bool = False):
-    """(F_north, F_south) (nh, nm) complex64 -> alm (nl, nm) complex64.
+                            block_m: int = 128, interpret: bool = False,
+                            max_b: int | None = None):
+    """(F_n, F_s) (..., nh, nm) complex64 -> alm (..., nl, nm) complex64.
 
-    Pallas version of sht_otf.adjoint_legendre_otf: the grid is
-    (m-blocks, ring-blocks) with the ring axis innermost so each m-block's
-    (nl, BM) output stays resident in VMEM while ring-block partial sums
-    accumulate (the Y^t of comm_map_mod.f90:511-530 at scale)."""
+    Grid is (m-blocks, ring-blocks) with rings innermost so each m-block's
+    (B, nl, BM) output block stays VMEM-resident while ring partial sums
+    accumulate (the Yt of comm_map_mod.f90:511-530 at scale)."""
     nl = otf.lmax + 1
     nm = otf.mmax + 1
-    nh = F_n.shape[0]
-    nh_p = -(-nh // block_h) * block_h
-    nm_p = -(-nm // block_m) * block_m
+    nh = F_n.shape[-2]
+    nside = nh // 2
+    block_h = min(block_h, _rup(nh, 8))
+    block_m = min(block_m, _rup(nm, 128))
+    nl_p = _rup(nl, 8)
+    if max_b is None:
+        # the (B, nl, BM) out blocks stay VMEM-resident (and Mosaic may
+        # double-buffer them): keep 2 x out under ~5 MB of the 16 MB VMEM
+        max_b = max(1, int(5e6 // (2 * nl_p * block_m * 4)))
+    seeds, seede, A, B, beta, x = _coeff_pack(
+        nside, otf.lmax, otf.mp, otf.mmax, block_h, block_m, 8)
+    nh_p, nm_p = seeds.shape
 
-    padm = lambda a2: jnp.pad(a2, ((0, nh_p - a2.shape[0]),
-                                   (0, nm_p - a2.shape[1])))
-    padl = lambda a2: jnp.pad(a2, ((0, 0), (0, nm_p - a2.shape[1])))
-    seeds = padm(otf.seed_mant.astype(jnp.float32))
-    seede = padm(otf.seed_exp)
-    A = padl(otf.A.astype(jnp.float32))
-    B = padl(otf.Bc.astype(jnp.float32))
-    beta = padl(otf.beta.astype(jnp.float32))
-    x = jnp.pad(otf.x.astype(jnp.float32), (0, nh_p - nh))[:, None]
-    norm = otf.norm.astype(jnp.float32)[:, None]
-    Ge = F_n + F_s
-    Go = F_n - F_s
-    ge_re, ge_im = padm(Ge.real.astype(jnp.float32)), \
-        padm(Ge.imag.astype(jnp.float32))
-    go_re, go_im = padm(Go.real.astype(jnp.float32)), \
-        padm(Go.imag.astype(jnp.float32))
+    batch = F_n.shape[:-2]
+    Fn2 = F_n.reshape((-1, nh, nm))
+    Fs2 = F_s.reshape((-1, nh, nm))
+    Btot = Fn2.shape[0]
 
-    grid = (nm_p // block_m, nh_p // block_h)      # ring axis innermost
-    bs = pl.BlockSpec((block_h, block_m), lambda j, i: (i, j))
-    bs_l = pl.BlockSpec((nl, block_m), lambda j, i: (0, j))
+    grid = (nm_p // block_m, nh_p // block_h)            # rings innermost
+    bs_hm = pl.BlockSpec((block_h, block_m), lambda j, i: (i, j))
+    bs_lm = pl.BlockSpec((A.shape[0], block_m), lambda j, i: (0, j))
     bs_x = pl.BlockSpec((block_h, 1), lambda j, i: (i, 0))
-    bs_n = pl.BlockSpec((nl, 1), lambda j, i: (0, 0))
 
-    out_shape = [jax.ShapeDtypeStruct((nl, nm_p), jnp.float32)] * 2
-    kern = partial(_adj_kernel, nl, otf.lmax, otf.mp)
-    a_re, a_im = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[bs, bs, bs_l, bs_l, bs_l, bs_x, bs_n, bs, bs, bs, bs],
-        out_specs=[bs_l, bs_l],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(seeds, seede, A, B, beta, x, norm, ge_re, ge_im, go_re, go_im)
-    return (a_re + 1j * a_im)[:, :nm]
+    parts = []
+    for b0 in range(0, Btot, max_b):
+        Bc_ = min(max_b, Btot - b0)
+        padg = lambda g: jnp.pad(g.astype(jnp.float32),
+                                 ((0, 0), (0, nh_p - nh), (0, nm_p - nm)))
+        gn_re, gn_im = padg(Fn2[b0:b0 + Bc_].real), padg(Fn2[b0:b0 + Bc_].imag)
+        gs_re, gs_im = padg(Fs2[b0:b0 + Bc_].real), padg(Fs2[b0:b0 + Bc_].imag)
+        bs_g = pl.BlockSpec((Bc_, block_h, block_m), lambda j, i: (0, i, j))
+        bs_a = pl.BlockSpec((Bc_, A.shape[0], block_m), lambda j, i: (0, 0, j))
+        out_shape = [jax.ShapeDtypeStruct((Bc_, A.shape[0], nm_p),
+                                          jnp.float32)] * 2
+        kern = partial(_adj_kernel, otf.mp, block_h, block_m, nl)
+        a_re, a_im = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[bs_hm, bs_hm, bs_lm, bs_lm, bs_lm, bs_x,
+                      bs_g, bs_g, bs_g, bs_g],
+            out_specs=[bs_a] * 2,
+            out_shape=out_shape,
+            interpret=interpret or _INTERPRET,
+        )(seeds, seede, A, B, beta, x, gn_re, gn_im, gs_re, gs_im)
+        parts.append((a_re + 1j * a_im)[:, :nl, :nm])
+    return jnp.concatenate(parts, 0).reshape(batch + (nl, nm))
 
 
 def alm2map_pallas(plan, otf: LegendreOTF, alm: jnp.ndarray,
-                   block_h: int = 64, block_m: int = 128,
+                   block_h: int = 128, block_m: int = 128,
                    interpret: bool = False):
     """Full Y on the Pallas Legendre stage: same semantics as
-    sht_otf.alm2map_otf (single map; f32 path)."""
+    sht_otf.alm2map_otf (f32 path; batched)."""
     from .sht import _gather_pix, ring_synthesis
 
     F_n, F_s = synth_legendre_pallas(otf, alm.astype(jnp.complex64),
-                                     plan.nh, block_h, block_m, interpret)
-    south = jnp.flip(F_s[: plan.nh - 1, :], axis=-2)
+                                     plan.nh, block_h, block_m,
+                                     interpret=interpret)
+    south = jnp.flip(F_s[..., : plan.nh - 1, :], axis=-2)
     F = jnp.concatenate([F_n, south], axis=-2)
     scale = jnp.concatenate([jnp.ones((1,)),
                              2.0 * jnp.ones((plan.mmax,))]).astype(
@@ -272,16 +401,16 @@ def map2alm_pallas(plan, otf: LegendreOTF, maps: jnp.ndarray,
                    block_h: int = 64, block_m: int = 128,
                    interpret: bool = False):
     """Full YtW on the Pallas Legendre-adjoint stage: same semantics as
-    sht_otf.map2alm_otf (single map; f32 path)."""
+    sht_otf.map2alm_otf (f32 path; batched)."""
     from .sht import _pad_to_rings, ring_analysis
 
     w = plan.ring_weight
     fpad = _pad_to_rings(plan, maps) * w[:, None]
     F = ring_analysis(plan, fpad.astype(plan.cdtype))
-    F_n = F[: plan.nh, :]
-    F_s = jnp.flip(F[plan.nh:, :], axis=-2)
+    F_n = F[..., : plan.nh, :]
+    F_s = jnp.flip(F[..., plan.nh:, :], axis=-2)
     pad = plan.nh - 1 - F_s.shape[-2]
-    F_s = jnp.pad(F_s, [(0, pad + 1), (0, 0)])
+    F_s = jnp.pad(F_s, [(0, 0)] * (F_s.ndim - 2) + [(0, pad + 1), (0, 0)])
     return adjoint_legendre_pallas(otf, F_n.astype(jnp.complex64),
                                    F_s.astype(jnp.complex64),
                                    block_h, block_m, interpret)

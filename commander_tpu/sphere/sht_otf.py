@@ -214,12 +214,7 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
     if otf.backend == "pallas":
         from .pallas_sht import synth_legendre_pallas
         interp = jax.default_backend() == "cpu"
-        f = lambda a: synth_legendre_pallas(otf, a, nh, interpret=interp)
-        if alm.ndim == 2:
-            return f(alm)
-        b = alm.shape[:-2]
-        Fn, Fs = jax.vmap(f)(alm.reshape((-1,) + alm.shape[-2:]))
-        return (Fn.reshape(b + Fn.shape[-2:]), Fs.reshape(b + Fs.shape[-2:]))
+        return synth_legendre_pallas(otf, alm, nh, interpret=interp)
     L, nl, pad_l, nchunks = _chunk_axes(otf, alm.ndim - 2)
     batch = alm.shape[:-2]
     nm = otf.mmax + 1
@@ -254,13 +249,7 @@ def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
     if otf.backend == "pallas":
         from .pallas_sht import adjoint_legendre_pallas
         interp = jax.default_backend() == "cpu"
-        f = lambda n, s: adjoint_legendre_pallas(otf, n, s, interpret=interp)
-        if F_n.ndim == 2:
-            return f(F_n, F_s)
-        b = F_n.shape[:-2]
-        a = jax.vmap(f)(F_n.reshape((-1,) + F_n.shape[-2:]),
-                        F_s.reshape((-1,) + F_s.shape[-2:]))
-        return a.reshape(b + a.shape[-2:])
+        return adjoint_legendre_pallas(otf, F_n, F_s, interpret=interp)
     L, nl, pad_l, nchunks = _chunk_axes(otf, F_n.ndim - 2)
     batch = F_n.shape[:-2]
     nm = otf.mmax + 1
