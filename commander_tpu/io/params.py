@@ -128,6 +128,11 @@ class BandConfig:
     tod_type: str = "none"
     sample_bandpass: bool = False          # BAND_SAMP_BANDPASS
     bandpass_model: str = "additive_shift"  # BAND_BANDPASS_MODEL
+    tod_filelist: Optional[str] = None     # BAND_TOD_FILELIST
+    tod_flag: int = 0                      # BAND_TOD_FLAG (bad-flag bits)
+    tod_start_scan: int = 1                # BAND_TOD_START_SCANID
+    tod_end_scan: int = 2 ** 31 - 1        # BAND_TOD_END_SCANID
+    tod_detectors: Optional[tuple] = None  # BAND_TOD_DETECTOR_LIST
 
 
 @dataclasses.dataclass
@@ -232,6 +237,15 @@ def lower_params(p: Params) -> RunConfig:
             gain_prior_rms=float(p.get_indexed("BAND_GAIN_PRIOR_RMS", i, 0.0)),
             sample_gain=bool(p.get_indexed("BAND_SAMP_GAIN", i, False)),
             tod_type=str(p.get_indexed("BAND_TOD_TYPE", i, "none")),
+            tod_filelist=p.get_indexed("BAND_TOD_FILELIST", i),
+            tod_flag=int(p.get_indexed("BAND_TOD_FLAG", i, 0)),
+            tod_start_scan=int(p.get_indexed("BAND_TOD_START_SCANID", i, 1)),
+            tod_end_scan=int(p.get_indexed("BAND_TOD_END_SCANID", i,
+                                           2 ** 31 - 1)),
+            tod_detectors=(tuple(
+                s.strip() for s in str(p.get_indexed(
+                    "BAND_TOD_DETECTOR_LIST", i)).split(","))
+                if p.get_indexed("BAND_TOD_DETECTOR_LIST", i) else None),
             sample_bandpass=bool(p.get_indexed("BAND_SAMP_BANDPASS", i,
                                                False)),
             bandpass_model=str(p.get_indexed("BAND_BANDPASS_MODEL", i,

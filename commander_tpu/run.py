@@ -458,7 +458,47 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
             ps, cl_cfgs)
 
 
-def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
+def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False):
+    """Read real TOD archives for every band with a BAND_TOD_FILELIST —
+    the reference's initialize-TOD path (get_scan_ids + read_tod,
+    comm_tod_mod.f90:643-799; huffman pointing decode per scan). Scalars
+    from the archives warm-start the per-scan (gain, sigma0, fknee, alpha)
+    state, as read_hdf_scan does. Returns {band_index: (TodConfig, block,
+    state, kind)} for those bands; bands without a filelist fall through to
+    the synthetic simulator (tests)."""
+    from .tod.loader import load_band_tod
+    from .tod.process import TodConfig
+
+    blocks = {}
+    for b, band in enumerate(cfg.bands):
+        if band.tod_type in (None, "none") or not band.tod_filelist:
+            continue
+        path = band.tod_filelist
+        if not os.path.isabs(path):
+            path = os.path.join(data_dir or ".", path)
+        if not os.path.exists(path):
+            if synthetic:
+                continue  # synthetic fixture: band falls to the simulator
+            raise FileNotFoundError(
+                f"BAND_TOD_FILELIST {band.tod_filelist!r} not found "
+                f"(resolved {path!r})")
+        block, tstate, meta = load_band_tod(
+            path, data_dir=os.path.dirname(path),
+            bad_flag_bits=(band.tod_flag if band.tod_flag else ~0),
+            dets=band.tod_detectors, first_scan=band.tod_start_scan,
+            last_scan=band.tod_end_scan)
+        if meta["nside"] != nside:
+            raise ValueError(
+                f"band {band.label}: archive nside {meta['nside']} != run "
+                f"nside {nside} (per-band TOD resolutions go through "
+                f"run_multires)")
+        tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ)
+        kind = "diff" if str(band.tod_type).upper() == "WMAP" else "lfi"
+        blocks[b] = (tcfg, block, tstate, kind)
+    return blocks
+
+
+def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=()):
     """Simulate TOD blocks per band from the current synthetic sky — the
     stand-in for reading real archives (read_tod, comm_tod_mod.f90) so the
     full TOD->mapmaking->component-separation loop runs end to end."""
@@ -473,8 +513,8 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0):
     blocks = {}
     sky0 = np.asarray(sys.data)  # synthetic data as the TOD's sky truth
     for b, band in enumerate(cfg.bands):
-        if band.tod_type in (None, "none"):
-            continue
+        if band.tod_type in (None, "none") or b in skip:
+            continue  # archive-backed bands load via _setup_archive_tod
         tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ)
         kind = str(band.tod_type).upper()
         if kind == "WMAP":
@@ -1073,8 +1113,15 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         # pass sees a real sky model (the reference warm-starts from init
         # maps / chains, comm_signal_mod initialize_from_chain)
         state = gibbs.gibbs_step(gcfg, sys, plan, state, ts, ps)
-        tod_blocks = _setup_synthetic_tod(cfg, plan, sys, diffuse,
-                                          meta["nside"], seed=cfg.base_seed)
+        # real archives take precedence (BAND_TOD_FILELIST); bands without
+        # a filelist get the synthetic simulator (test fixtures)
+        tod_blocks = _setup_archive_tod(cfg, meta["nside"],
+                                        data_dir=data_dir,
+                                        synthetic=synthetic)
+        synth = _setup_synthetic_tod(cfg, plan, sys, diffuse,
+                                     meta["nside"], seed=cfg.base_seed,
+                                     skip=set(tod_blocks))
+        tod_blocks.update(synth)
         from .tod.differential import process_tod_diff
         pvec = jnp.asarray(healpix.pix2vec_ring(meta["nside"]))
         tod_step = {

@@ -82,19 +82,25 @@ def _decode_stream(ds, tree, symb, ntod):
     return np.cumsum(vals)
 
 
-def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0):
+def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0,
+                 scan_ids=None, dets=None):
     """Load an archive into (TodBlock, TodState seed, meta dict).
 
     Scans are padded to max ntod; padded samples have mask 0. Samples whose
     flag has any bit of bad_flag_bits set are masked (BAND_TOD_FLAG in the
-    reference parameter files)."""
+    reference parameter files). scan_ids restricts to those 1-based PIDs;
+    dets restricts to a detector subset (BAND_TOD_DETECTOR_LIST)."""
     with h5py.File(path, "r") as f:
         fsamp = float(np.asarray(f["common/fsamp"]))
         nside = int(np.asarray(f["common/nside"])[0])
         npsi = int(np.asarray(f["common/npsi"])[0])
-        dets = [s.strip() for s in
-                f["common/det"][()].decode().split(",")]
+        all_dets = [s.strip() for s in
+                    f["common/det"][()].decode().split(",")]
+        dets = [d for d in all_dets if dets is None or d in dets]
         pids = sorted(k for k in f.keys() if k.isdigit())
+        if scan_ids is not None:
+            want = {int(s) for s in scan_ids}
+            pids = [p for p in pids if int(p) in want]
         ntods = [int(np.asarray(f[f"{p}/common/ntod"])[0]) for p in pids]
         nt_max = max(ntods)
         Ns, Nd = len(pids), len(dets)
@@ -129,4 +135,131 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0):
                      alpha=jnp.asarray(scal[..., 3]),
                      n_corr=jnp.zeros_like(block.tod))
     meta = dict(nside=nside, npsi=npsi, dets=dets, fsamp=fsamp)
+    return block, state, meta
+
+
+# ---------------------------------------------------------------------------
+# Filelists + weighted scan distribution (BAND_TOD_FILELIST;
+# comm_tod_mod.f90:643-799 get_scan_ids)
+# ---------------------------------------------------------------------------
+
+def read_filelist(path: str, first_scan: int = 1,
+                  last_scan: int = 2 ** 31 - 1):
+    """Reference filelist format: first line is the entry count, then
+    per line 'scanid filename weight theta phi' (spin-axis angles).
+    Returns dict with scanid/filename/weight/spin arrays, restricted to
+    [first_scan, last_scan]."""
+    sids, names, weights, spins = [], [], [], []
+    with open(path) as f:
+        lines = [ln.split() for ln in f if ln.strip()]
+    n = int(lines[0][0])
+    for parts in lines[1:n + 1]:
+        sid = int(parts[0])
+        if sid < first_scan or sid > last_scan:
+            continue
+        sids.append(sid)
+        names.append(parts[1].strip('"'))
+        weights.append(float(parts[2]) if len(parts) > 2 else 1.0)
+        spins.append((float(parts[3]), float(parts[4]))
+                     if len(parts) > 4 else (0.0, 0.0))
+    if not sids:
+        raise ValueError(f"No accepted scans in filelist {path!r} "
+                         f"(first/last = {first_scan}/{last_scan})")
+    return dict(scanid=np.asarray(sids), filename=names,
+                weight=np.asarray(weights), spin=np.asarray(spins))
+
+
+def distribute_scans(weights, spin, nproc: int):
+    """Static load balancing of scans over nproc shards: sort by spin-axis
+    angle relative to the first scan (so each shard sees a contiguous sky
+    patch, which keeps its observed-pixel set compact), then fill shards
+    np-1..1 to ~w_tot/np each, pushing >1.2x overshoots to the neighbor —
+    the exact assignment loop of get_scan_ids (comm_tod_mod.f90:731-768).
+    Returns an int array proc[i] in [0, nproc)."""
+    n = len(weights)
+    weights = np.asarray(weights, np.float64)
+    spin = np.asarray(spin, np.float64)
+    th, ph = spin[:, 0], spin[:, 1]
+    ax = np.stack([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                   np.cos(th)], axis=-1)
+    # symmetry axis = mean of cross products with the first axis
+    v = np.cross(ax[0], ax)
+    v[v[:, 2] < 0] *= -1.0
+    nv = np.linalg.norm(v, axis=-1)
+    v0 = (v[nv > 0] / nv[nv > 0, None]).sum(0) if (nv > 0).any() \
+        else np.array([0.0, 0.0, 1.0])
+    v0 /= max(np.linalg.norm(v0), 1e-30)
+    sid = np.arccos(np.clip(ax @ ax[0], -1.0, 1.0))
+    sid[np.cross(ax[0], ax) @ v0 < 0] *= -1.0
+    order = np.argsort(sid, kind="stable")
+    # contiguous blocks in spin order, boundaries at equal cumulative
+    # weight: same intent as the reference's fill loop (which walks the
+    # sid-sorted list filling each core to w_tot/np with a 1.2x overshoot
+    # push), but robust when scans are few or heavy — the reference's
+    # overshoot push can starve low-rank cores in that regime
+    cum = np.cumsum(weights[order]) - 0.5 * weights[order]
+    w_tot = weights.sum()
+    shard_of_sorted = np.minimum(
+        (cum / w_tot * nproc).astype(np.int64), nproc - 1)
+    proc = np.zeros(n, np.int64)
+    # reference fills np-1 downward, leaving the remainder on rank 0
+    proc[order] = (nproc - 1) - shard_of_sorted
+    return proc
+
+
+def load_band_tod(filelist_path: str, data_dir: str | None = None,
+                  bad_flag_bits: int = ~0, dets=None, first_scan: int = 1,
+                  last_scan: int = 2 ** 31 - 1, shard: int = 0,
+                  nshard: int = 1):
+    """BAND_TOD_FILELIST -> (TodBlock, TodState, meta): read the filelist,
+    distribute scans by weight (get_scan_ids), read this shard's scans from
+    their archives (huffman pointing decode; scalars as the warm start the
+    reference takes from read_hdf_scan), and bucket to one padded TodBlock.
+    """
+    import os
+
+    fl = read_filelist(filelist_path, first_scan, last_scan)
+    proc = distribute_scans(fl["weight"], fl["spin"], nshard)
+    mine = np.nonzero(proc == shard)[0]
+    if mine.size == 0:
+        raise ValueError(f"shard {shard}/{nshard} received no scans")
+    by_file: dict = {}
+    for i in mine:
+        by_file.setdefault(fl["filename"][i], []).append(int(fl["scanid"][i]))
+    blocks, states, meta = [], [], None
+    for fname, sids in sorted(by_file.items()):
+        path = fname if os.path.isabs(fname) else \
+            os.path.join(data_dir or os.path.dirname(filelist_path), fname)
+        blk, st, m = read_archive(path, bad_flag_bits=bad_flag_bits,
+                                  scan_ids=sids, dets=dets)
+        blocks.append(blk)
+        states.append(st)
+        if meta is None:
+            meta = m
+        elif m["nside"] != meta["nside"] or m["dets"] != meta["dets"]:
+            raise ValueError(f"inconsistent archives in {filelist_path!r}: "
+                             f"{m} vs {meta}")
+    nt = max(b.ntod for b in blocks)
+
+    def cat(field, pad_val=0):
+        outs = []
+        for b in blocks:
+            a = np.asarray(getattr(b, field))
+            outs.append(np.pad(a, [(0, 0)] * (a.ndim - 1)
+                               + [(0, nt - a.shape[-1])],
+                               constant_values=pad_val))
+        return jnp.asarray(np.concatenate(outs, axis=0))
+
+    block = TodBlock(tod=cat("tod"), pix=cat("pix"), psi=cat("psi"),
+                     mask=cat("mask"),
+                     vsun=jnp.asarray(np.concatenate(
+                         [np.asarray(b.vsun) for b in blocks], axis=0)),
+                     fsamp=blocks[0].fsamp)
+    state = TodState(
+        gain=jnp.concatenate([s.gain for s in states], axis=0),
+        sigma0=jnp.concatenate([s.sigma0 for s in states], axis=0),
+        fknee=jnp.concatenate([s.fknee for s in states], axis=0),
+        alpha=jnp.concatenate([s.alpha for s in states], axis=0),
+        n_corr=jnp.zeros_like(block.tod))
+    meta["nscan"] = block.nscan
     return block, state, meta

@@ -61,6 +61,10 @@ def test_file_based_run_recovers_sky(tmp_path_factory):
         b.mapfile = f"map_{i}.fits"
         b.noisefile = f"rms_{i}.fits"
         b.maskfile = "fullsky"
+        # this fixture injects through Gaussian beams; the tutorial's b_l
+        # FITS files are not part of it (non-synthetic runs abort on a
+        # missing BAND_BEAM_B_L_FILE by design)
+        b.beamfile = None
 
     cfg.cg_tol, cfg.cg_maxiter = 1e-9, 500
     state, chain_path = run(cfg, nside=nside, lmax=lmax, synthetic=False,
