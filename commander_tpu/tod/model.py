@@ -418,6 +418,105 @@ def sample_abscal(key, tod_resid, s_orb, mask, sigma0):
     return mean + std * jax.random.normal(key, (), tod_resid.dtype)
 
 
+def sample_relcal(key, tod_resid, s_tot, mask, sigma0):
+    """Per-detector relative calibration offsets Delta g_i constrained to
+    sum_i Delta g_i = 0 — sample_relcal (comm_tod_gain_mod.f90:577-625):
+    per-det GLS accumulators (A_i, b_i) against the full signal template,
+    Gaussian fluctuation sqrt(A_i) eta on the rhs, and the zero-sum
+    constraint enforced through a Lagrange-multiplier row exactly like the
+    reference's (ndet+1) bordered system."""
+    nd = tod_resid.shape[1]
+    w = mask / jnp.maximum(sigma0[..., None] ** 2, 1e-30)
+    A = jnp.sum(s_tot * s_tot * w, axis=(0, 2))          # (Nd,)
+    b = jnp.sum(s_tot * tod_resid * w, axis=(0, 2))
+    b = b + jnp.sqrt(jnp.maximum(A, 0.0)) \
+        * jax.random.normal(key, (nd,), tod_resid.dtype)
+    M = jnp.zeros((nd + 1, nd + 1), tod_resid.dtype)
+    M = M.at[jnp.arange(nd), jnp.arange(nd)].set(A)
+    M = M.at[:nd, nd].set(0.5)
+    M = M.at[nd, :nd].set(1.0)
+    rhs = jnp.concatenate([b, jnp.zeros((1,), b.dtype)])
+    x = jnp.linalg.solve(M, rhs)
+    return x[:nd]
+
+
+def bin_tod_mono(calib_tod, pix, psi, mask, inv_var, npix: int, pol: bool):
+    """Extended normal equations with per-detector monopole columns —
+    the sys_mono machinery of bin_TOD (comm_tod_mapmaking_mod.f90:34-94,
+    'do_oper(samp_mono)' branch): u = (1, cos2psi, sin2psi, e_det) so the
+    solved system carries the Stokes x det-monopole cross terms that
+    sample_mono's MH needs. Returns (A (npix,k+Nd,k+Nd), b (npix,k+Nd))."""
+    Ns, Nd, Nt = calib_tod.shape
+    k = 3 if pol else 1
+    w = (mask * inv_var[..., None]).reshape(-1)
+    d = calib_tod.reshape(-1)
+    p = pix.reshape(-1)
+    ones = jnp.ones_like(d)
+    cols = [ones]
+    if pol:
+        ps = psi.reshape(-1)
+        cols += [jnp.cos(2 * ps), jnp.sin(2 * ps)]
+    det_id = jnp.broadcast_to(jnp.arange(Nd)[None, :, None],
+                              (Ns, Nd, Nt)).reshape(-1)
+    for j in range(Nd):
+        cols.append((det_id == j).astype(d.dtype))
+    u = jnp.stack(cols, -1)                              # (N, k+Nd)
+    A = jax.ops.segment_sum((w[:, None, None] * u[:, :, None]
+                             * u[:, None, :]), p, npix)
+    b = jax.ops.segment_sum((w * d)[:, None] * u, p, npix)
+    return A, b
+
+
+def sample_mono(key, A, b, nmaps: int, nstep: int = 1000,
+                sigma_prop: float = 0.03, mono0=None):
+    """Per-detector monopole MH (sample_mono,
+    comm_tod_mapmaking_mod.f90:300-438): proposals are zero-mean shifts of
+    the det monopole vector; the chi^2 compares the Q/U response of the
+    proposed monopoles (through the pixel systems' Stokes x det blocks)
+    against the binned rhs residual. A/b from bin_tod_mono.
+
+    Works on the per-pixel quadratic form directly: chi^2(m) =
+    m^T (C^T S^-1 C) m - 2 m^T C^T S^-1 r marginalized over the Stokes
+    block per pixel, which is the reference's res/rms evaluation in closed
+    form. Returns (mono (Nd,), accept_rate)."""
+    k = nmaps
+    nd = A.shape[-1] - k
+    hit = A[:, 0, 0] > 0
+    Ass = A[:, :k, :k] + (~hit)[:, None, None] * jnp.eye(k, dtype=A.dtype) \
+        + 1e-20 * jnp.eye(k, dtype=A.dtype)
+    Asd = A[:, :k, k:]                                   # (npix, k, Nd)
+    Add = A[:, k:, k:]
+    bs = b[:, :k]
+    bd = b[:, k:]
+    # marginalize the Stokes amplitudes: effective quadratic form in m
+    X = jnp.linalg.solve(Ass, Asd)                       # (npix, k, Nd)
+    Q = jnp.sum(jnp.where(hit[:, None, None], Add
+                          - jnp.einsum("pki,pkj->pij", Asd, X), 0.0), 0)
+    l = jnp.sum(jnp.where(hit[:, None], bd
+                          - jnp.einsum("pki,pk->pi", X, bs), 0.0), 0)
+
+    def chisq(m):
+        return m @ Q @ m - 2.0 * (l @ m)
+
+    m0 = jnp.zeros((nd,), A.dtype) if mono0 is None else mono0
+    c0 = chisq(m0)
+
+    def step(carry, kk):
+        m, c, nacc = carry
+        k1, k2 = jax.random.split(kk)
+        eta = jax.random.normal(k1, (nd,), A.dtype) * sigma_prop
+        prop = m + eta - jnp.mean(m + eta)               # zero-mean forced
+        cp = chisq(prop)
+        acc = jnp.log(jax.random.uniform(k2, (), A.dtype)) < 0.5 * (c - cp)
+        m = jnp.where(acc, prop, m)
+        c = jnp.where(acc, cp, c)
+        return (m, c, nacc + acc.astype(A.dtype)), None
+
+    keys = jax.random.split(key, nstep)
+    (m, c, nacc), _ = jax.lax.scan(step, (m0, c0, 0.0), keys)
+    return m, nacc / nstep
+
+
 # ---------------------------------------------------------------------------
 # Mapmaking
 # ---------------------------------------------------------------------------

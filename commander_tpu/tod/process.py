@@ -45,33 +45,72 @@ class TodConfig:
     # comm_tod_noise_mod.f90:308); costs n_iter extra FFT pairs per pass
     ncorr_exact: bool = False
     ncorr_cg_iter: int = 15
+    # TOD-level per-detector monopole sampling (sample_mono,
+    # comm_tod_mapmaking_mod.f90:300): bin with det-monopole columns and
+    # run the zero-mean MH over the marginalized quadratic form
+    sample_mono: bool = False
+    mono_nstep: int = 1000
+    mono_sigma_prop: float = 0.03
 
 
 def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
-                sky_maps: jnp.ndarray, pix_vec: jnp.ndarray, key):
+                sky_maps: jnp.ndarray, pix_vec: jnp.ndarray, key,
+                sl_fmaps: jnp.ndarray | None = None,
+                s_extra: jnp.ndarray | None = None,
+                mono: jnp.ndarray | None = None):
     """One TOD Gibbs pass. Returns (new TodState, products dict).
 
     sky_maps: (nmaps, npix) current sky model at this band (uK).
+    sl_fmaps: optional per-det conviqt tables (Nd, M+1, 2, npix) — the
+        sidelobe term of the per-scan signal sum
+        (comm_tod_LFI_mod.f90:633-646; construct_sl_template).
+    s_extra: optional fixed additive per-sample signal (Ns, Nd, Nt) — the
+        zodi template slot (compute_zodi_template, :626-631).
+    mono: optional per-det monopole amplitudes (Nd,) added as the
+        monopole correction template (:650-658).
     products: binned map/rms/fluct maps + chisq diagnostics.
     """
     npix = 12 * cfg.nside * cfg.nside
-    k_g, k_n, k_p, k_b, k_a = jax.random.split(key, 5)
+    k_g, k_n, k_p, k_b, k_a, k_r, k_w = jax.random.split(key, 7)
 
     s_sky = M.project_sky(sky_maps, block.pix, block.psi, cfg.pol)
     s_orb = M.orbital_dipole(block.vsun, pix_vec, cfg.nu, block.pix)
-    s_ref = s_sky + s_orb
+    s_stat = s_orb       # templates NOT part of the sky model map
+    if sl_fmaps is not None:
+        # per-det sidelobe: gather + azimuthal Fourier sum at this
+        # pointing (conviqt interp); vmap over the det axis
+        from .conviqt import conviqt_interp
+        s_sl = jax.vmap(conviqt_interp, in_axes=(0, 1, 1), out_axes=1)(
+            sl_fmaps, block.pix, block.psi)
+        s_stat = s_stat + s_sl
+    if s_extra is not None:
+        s_stat = s_stat + s_extra
+    if mono is not None:
+        s_stat = s_stat + mono[None, :, None]
+    s_ref = s_sky + s_stat                               # full s_tot
 
-    # --- gain: per-scan GLS on n_corr-subtracted data, then smoothing ----
+    # --- gain: g = g0 + Delta g_det + delta g_scan (the reference's
+    # gain0(0) + gain0(det) + dgain decomposition,
+    # comm_tod_gain_mod.f90:534-625 + sample_smooth_gain :143-453) -------
     d_for_gain = block.tod - state.n_corr
     gain_raw = M.sample_gain_perscan(k_g, d_for_gain, s_ref, block.mask,
                                      state.sigma0)
-    gain = M.smooth_gain(gain_raw, cfg.gain_smooth_window)
-
-    # absolute calibration from the orbital dipole. The reference splits
-    # g = g_abs + delta_g (sample_abscal_from_orbital); the smoothed
-    # per-scan fit already carries the mean, so g_abs is a diagnostic here.
-    resid_orb = d_for_gain - gain[..., None] * s_sky
+    # absolute calibration from the orbital dipole on the sky-subtracted
+    # residual (sample_abscal_from_orbital)
+    resid_orb = d_for_gain - gain_raw[..., None] * (s_ref - s_orb)
     g_abs = M.sample_abscal(k_a, resid_orb, s_orb, block.mask, state.sigma0)
+    # per-det relative offsets, zero-sum constrained (sample_relcal)
+    resid_rel = d_for_gain - g_abs * s_ref
+    dg_det = M.sample_relcal(k_r, resid_rel, s_ref, block.mask, state.sigma0)
+    # Wiener-smoothed per-scan deviations around g0 + Delta g
+    # (sample_smooth_gain)
+    w_g = jnp.sum(s_ref * s_ref * block.mask, -1) \
+        / jnp.maximum(state.sigma0 ** 2, 1e-30)
+    sigma_g = 1.0 / jnp.sqrt(jnp.maximum(w_g, 1e-30))
+    dev = gain_raw - g_abs - dg_det[None, :]
+    sm = M.smooth_gain_wiener(k_w, dev, sigma_g)
+    dev_s = sm - jnp.mean(sm, axis=0, keepdims=True)
+    gain = g_abs + dg_det[None, :] + dev_s
 
     # --- noise PSD first (order differs from the reference because our
     # synthetic runs have no archive scalars to warm-start from):
@@ -101,36 +140,86 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
     z = (chi2 - ndof) / jnp.sqrt(2.0 * jnp.maximum(ndof, 1.0))
     accept = (jnp.abs(z) < cfg.chisq_reject_sigma).astype(resid.dtype)
 
-    # --- mapmaking on calibrated, n_corr-subtracted data -----------------
-    calib = (block.tod - n_corr) / jnp.maximum(gain[..., None], 1e-30) \
-        - s_orb
+    # --- mapmaking on calibrated, n_corr-subtracted data (all static
+    # templates — orbital dipole, sidelobe, zodi, monopole — removed) -----
+    n_for_map = n_corr
+    if cfg.sample_mono:
+        # the n_corr Wiener filter passes the per-scan DC through (the
+        # reference's dv(0) likewise, comm_tod_noise_mod.f90:157-158),
+        # which would swallow the det monopoles; remove the per-(scan,det)
+        # mean so the DC information reaches the mono columns instead
+        n_dc = jnp.sum(n_corr * block.mask, -1, keepdims=True) \
+            / jnp.maximum(jnp.sum(block.mask, -1, keepdims=True), 1.0)
+        n_for_map = n_corr - n_dc
+    calib = (block.tod - n_for_map) / jnp.maximum(gain[..., None], 1e-30) \
+        - s_stat
     inv_var = accept * jnp.square(gain) / jnp.maximum(sigma0**2, 1e-30)
-    A, b = M.bin_tod(calib, block.pix, block.psi,
-                     block.mask, inv_var, npix, cfg.pol)
+    mono_new = mono
+    if cfg.sample_mono:
+        # bin WITHOUT the mono subtraction — the per-det monopole columns
+        # of the extended system absorb it, and sample_mono draws the
+        # TOTAL mono vector (warm-started at the current one); the Stokes
+        # rhs is then corrected by the sampled monopoles before the pixel
+        # solves (the reference adds the old correction to the output map,
+        # comm_tod_mapmaking_mod.f90:344-356)
+        calib_m = calib if mono is None else calib + mono[None, :, None]
+        kst = 3 if cfg.pol else 1
+        A_ext, b_ext = M.bin_tod_mono(calib_m, block.pix, block.psi,
+                                      block.mask, inv_var, npix, cfg.pol)
+        A = A_ext[:, :kst, :kst]
+        k_b, k_m = jax.random.split(k_b)
+        mono_new, _ = M.sample_mono(k_m, A_ext, b_ext, kst,
+                                    nstep=cfg.mono_nstep,
+                                    sigma_prop=cfg.mono_sigma_prop,
+                                    mono0=mono)
+        b = b_ext[:, :kst] - jnp.einsum("pkd,d->pk", A_ext[:, :kst, kst:],
+                                        mono_new)
+    else:
+        A, b = M.bin_tod(calib, block.pix, block.psi,
+                         block.mask, inv_var, npix, cfg.pol)
     m, rms, fluct = M.finalize_binned_map(k_b, A, b)
 
     new_state = M.TodState(gain=gain, sigma0=sigma0, alpha=alpha,
                            fknee=fknee, n_corr=n_corr)
     products = dict(map=m, rms=rms, fluct=fluct, chi2=chi2, ndof=ndof,
-                    accept=accept, g_abs=g_abs, gain_raw=gain_raw)
+                    accept=accept, g_abs=g_abs, gain_raw=gain_raw,
+                    dg_det=dg_det)
+    if cfg.sample_mono:
+        products["mono"] = mono_new
     return new_state, products
 
 
 def tod_chisq(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
-              sky_maps: jnp.ndarray, pix_vec: jnp.ndarray):
+              sky_maps: jnp.ndarray, pix_vec: jnp.ndarray,
+              sl_fmaps: jnp.ndarray | None = None,
+              s_extra: jnp.ndarray | None = None,
+              mono: jnp.ndarray | None = None,
+              per_det: bool = False):
     """TOD chi^2 of a candidate sky model under the current TOD state.
 
     The per-proposal chi^2 that drives the reference's bandpass MH
     (process_LFI_tod evaluates s_sky for each of ndelta bandpass proposals
     and compute_chisq accumulates per scan; comm_tod_LFI_mod.f90:401-418 +
-    comm_tod_mod compute_chisq). One jitted reduction over (scan, det, t).
+    comm_tod_mod compute_chisq). One jitted reduction over (scan, det, t);
+    per_det=True returns the (Nd,) per-detector split the reference's
+    ndelta per-det proposal flow accepts against (commander.f90:299-335).
     """
     s_sky = M.project_sky(sky_maps, block.pix, block.psi, cfg.pol)
-    s_orb = M.orbital_dipole(block.vsun, pix_vec, cfg.nu, block.pix)
-    resid = block.tod - state.n_corr \
-        - state.gain[..., None] * (s_sky + s_orb)
-    return jnp.sum(resid ** 2 * block.mask
-                   / jnp.maximum(state.sigma0[..., None] ** 2, 1e-30))
+    s_tot = s_sky + M.orbital_dipole(block.vsun, pix_vec, cfg.nu, block.pix)
+    if sl_fmaps is not None:
+        from .conviqt import conviqt_interp
+        s_tot = s_tot + jax.vmap(conviqt_interp, in_axes=(0, 1, 1),
+                                 out_axes=1)(sl_fmaps, block.pix, block.psi)
+    if s_extra is not None:
+        s_tot = s_tot + s_extra
+    if mono is not None:
+        s_tot = s_tot + mono[None, :, None]
+    resid = block.tod - state.n_corr - state.gain[..., None] * s_tot
+    c2 = resid ** 2 * block.mask \
+        / jnp.maximum(state.sigma0[..., None] ** 2, 1e-30)
+    if per_det:
+        return jnp.sum(c2, axis=(0, 2))
+    return jnp.sum(c2)
 
 
 def init_tod_state(block: M.TodBlock, sigma0_guess=1.0) -> M.TodState:

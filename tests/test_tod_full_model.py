@@ -1,0 +1,147 @@
+"""Full per-scan TOD model: sidelobe (conviqt), zodi-slot template,
+per-detector monopole, and the g0 + Delta g_det + delta g_scan gain
+decomposition (VERDICT round-1 missing #2).
+
+Reference: the per-scan signal sum of comm_tod_LFI_mod.f90:618-663 and the
+gain chain comm_tod_gain_mod.f90:534-625 + sample_mono
+(comm_tod_mapmaking_mod.f90:300)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from commander_tpu.sphere import healpix, sht
+from commander_tpu.sphere.alm import random_alm_white, triangle_mask
+from commander_tpu.tod import model as M
+from commander_tpu.tod.conviqt import conviqt_precompute, conviqt_tables
+from commander_tpu.tod.process import TodConfig, init_tod_state, process_tod
+from commander_tpu.tod.sim import simulate_tod
+
+NSIDE, LMAX = 8, 16
+SIGMA0 = 0.05
+
+
+@pytest.fixture(scope="module")
+def full_sim():
+    """TOD with per-det gains g_d = g0 + Delta_d and injected sidelobe +
+    zodi-like + per-det monopole signals."""
+    nl = LMAX + 1
+    plan = sht.get_plan(NSIDE, LMAX)
+    ell = np.arange(nl, dtype=float)
+    cl = np.zeros(nl)
+    cl[2:] = 300.0 / (ell[2:] * (ell[2:] + 1.0))
+    alm = np.asarray(random_alm_white(jax.random.PRNGKey(3), (1, nl, nl))
+                     * jnp.asarray(triangle_mask(nl, nl))) \
+        * np.sqrt(cl)[None, :, None]
+    sky = np.asarray(sht.alm2map(plan, jnp.asarray(alm)))       # (1, npix)
+
+    block, truth = simulate_tod(NSIDE, sky, nscan=12, ndet=2, ntod=2048,
+                                gain0=1.0, sigma0=SIGMA0, seed=2)
+    noise = np.asarray(block.tod) - 1.0 * (truth["s_sky"] + truth["s_orb"])
+
+    # sidelobe: far-sidelobe beam with m' up to 2, applied to the sky alm
+    M_beam = 2
+    rngb = np.random.default_rng(4)
+    blm = np.zeros((nl, M_beam + 1), np.complex128)
+    blm[: 6, 0] = 0.05 * rngb.standard_normal(6)
+    blm[2: 6, 1] = 0.03 * (rngb.standard_normal(4)
+                           + 1j * rngb.standard_normal(4))
+    blm[2: 6, 2] = 0.02 * (rngb.standard_normal(4)
+                           + 1j * rngb.standard_normal(4))
+    tables = conviqt_tables(NSIDE, LMAX, M_beam)
+    fmaps = conviqt_precompute(plan, tables, jnp.asarray(alm[0]),
+                               jnp.asarray(blm))
+    sl_fmaps = jnp.stack([fmaps, fmaps])                         # per det
+    s_sl = np.asarray(jax.vmap(
+        lambda f, p, ps: __import__("commander_tpu.tod.conviqt",
+                                    fromlist=["conviqt_interp"])
+        .conviqt_interp(f, p, ps),
+        in_axes=(0, 1, 1), out_axes=1)(sl_fmaps, block.pix, block.psi))
+
+    # zodi-like smooth template + per-det monopole (zero mean)
+    t = np.arange(block.ntod) / block.ntod
+    s_zodi = 0.4 * np.sin(2 * np.pi * (t[None, None] * 3.0)) \
+        * np.ones((block.nscan, block.ndet, 1))
+    mono_true = np.array([0.3, -0.3])
+
+    g_det = np.array([1.05, 0.95])                               # relcal
+    s_tot = truth["s_sky"] + truth["s_orb"] + s_sl + s_zodi \
+        + mono_true[None, :, None]
+    tod = g_det[None, :, None] * s_tot + noise
+    block = M.TodBlock(tod=jnp.asarray(tod), pix=block.pix, psi=block.psi,
+                       mask=block.mask, vsun=block.vsun, fsamp=block.fsamp)
+    return (sky, block, sl_fmaps, jnp.asarray(s_zodi), mono_true, g_det,
+            s_sl)
+
+
+def test_sidelobe_zodi_mono_gain_recovery(full_sim):
+    """With the full signal model, per-det gains are recovered; without the
+    templates the calibration is visibly biased."""
+    sky, block, sl_fmaps, s_zodi, mono_true, g_det, s_sl = full_sim
+    cfg = TodConfig(nside=NSIDE, nu=30e9)
+    pvec = jnp.asarray(healpix.pix2vec_ring(NSIDE))
+    state = init_tod_state(block)
+    key = jax.random.PRNGKey(0)
+    step = jax.jit(lambda st, k: process_tod(
+        cfg, block, st, jnp.asarray(sky), pvec, k, sl_fmaps=sl_fmaps,
+        s_extra=s_zodi, mono=jnp.asarray(mono_true)))
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        state, prod = step(state, k)
+    g_rec = np.asarray(state.gain).mean(0)
+    np.testing.assert_allclose(g_rec, g_det, atol=0.02)
+    # relcal split: dg_det captures the per-det offsets around g_abs
+    dg = np.asarray(prod["dg_det"])
+    assert abs(dg[0] - dg[1] - 0.1) < 0.03
+    assert abs(dg.sum()) < 1e-3                     # zero-sum constraint
+
+    # without the sidelobe+zodi+mono templates the same data biases the
+    # binned map (the templates leak into the sky estimate)
+    state2 = init_tod_state(block)
+    step2 = jax.jit(lambda st, k: process_tod(
+        cfg, block, st, jnp.asarray(sky), pvec, k))
+    key = jax.random.PRNGKey(0)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        state2, prod2 = step2(state2, k)
+    hit = np.asarray(prod["rms"][0]) > 0
+    err_full = np.abs(np.asarray(prod["map"][0])[hit] - sky[0][hit])
+    err_none = np.abs(np.asarray(prod2["map"][0])[hit] - sky[0][hit])
+    assert np.median(err_full) < 0.7 * np.median(err_none)
+
+
+def test_sample_mono_recovers_offsets(full_sim):
+    """sample_mono's zero-mean MH finds the injected per-det monopoles."""
+    sky, block, sl_fmaps, s_zodi, mono_true, g_det, s_sl = full_sim
+    # chi^2 gate opened: until mono converges the unmodeled 6-sigma0
+    # monopole keeps every scan's z-score above any sane threshold (the
+    # reference warm-starts mono from chain files instead)
+    cfg0 = TodConfig(nside=NSIDE, nu=30e9, chisq_reject_sigma=1e6)
+    cfg = TodConfig(nside=NSIDE, nu=30e9, sample_mono=True, mono_nstep=2000,
+                    mono_sigma_prop=0.05, chisq_reject_sigma=1e6)
+    pvec = jnp.asarray(healpix.pix2vec_ring(NSIDE))
+    state = init_tod_state(block)
+    key = jax.random.PRNGKey(1)
+    # burn in the calibration first (the reference only enables mono
+    # sampling once gains are stable; with gain errors the orbital-dipole
+    # leakage swamps the 0.3-unit monopoles)
+    burn = jax.jit(lambda st, k: process_tod(
+        cfg0, block, st, jnp.asarray(sky), pvec, k, sl_fmaps=sl_fmaps,
+        s_extra=s_zodi))
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        state, _ = burn(state, k)
+    # then sample the det monopoles from the binned residual
+    step = jax.jit(lambda st, m, k: process_tod(
+        cfg, block, st, jnp.asarray(sky), pvec, k, sl_fmaps=sl_fmaps,
+        s_extra=s_zodi, mono=m))
+    mono = jnp.zeros((2,), jnp.asarray(sky).dtype)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, prod = step(state, mono, k)
+        mono = prod["mono"]
+    rec = np.asarray(mono)
+    # zero-mean part of the truth (the common part is degenerate with the
+    # sky monopole, exactly as in the reference)
+    tru = mono_true - mono_true.mean()
+    np.testing.assert_allclose(rec, tru, atol=0.08)
