@@ -37,7 +37,7 @@ ANCHOR_CACHE = ".bench_cpu_anchor.json"  # the CPU measurement fails
 
 
 def _measure(jax, device, dtype, nside, lmax, batch, spin2=False,
-             n_hi=None):
+             n_hi=None, plan_kwargs=None):
     """One SHT-roundtrip measurement on `device`. Returns
     (shts_per_sec, sync_mode) or raises on an unusable session.
 
@@ -54,7 +54,8 @@ def _measure(jax, device, dtype, nside, lmax, batch, spin2=False,
 
     cplx = np.complex64 if dtype == "float32" else np.complex128
     with jax.default_device(jax.devices("cpu")[0]):
-        plan = sht.get_plan(nside, lmax, dtype=dtype, spin2=spin2)
+        plan = sht.get_plan(nside, lmax, dtype=dtype, spin2=spin2,
+                            **(plan_kwargs or {}))
         nl = lmax + 1
         rng = np.random.default_rng(0)
         def ralm():
@@ -151,9 +152,18 @@ def inner():
             "float64", 4
         nside, lmax = 64, 128
     spin2 = mode == "spin2"
+    plan_kwargs = None
+    if mode == "otf1024":
+        # tableless large-lmax path: fused Pallas OTF Legendre kernel
+        # (the 34 GB nside-1024 table exceeds HBM; VERDICT round-1 next #1)
+        nside, lmax, batch, n_hi = 1024, 2048, 8, 3
+        plan_kwargs = {"tables": False, "legendre_backend": "pallas"}
+        if not on_tpu:
+            raise RuntimeError("otf1024 is a TPU-only secondary")
     shts, sync = _measure(jax, dev, dtype, nside, lmax, batch,
-                          spin2=spin2, n_hi=n_hi)
-    kind = "pol-SHT (E,B<->Q,U)" if spin2 else "SHT"
+                          spin2=spin2, n_hi=n_hi, plan_kwargs=plan_kwargs)
+    kind = "pol-SHT (E,B<->Q,U)" if spin2 else \
+        ("OTF-Pallas SHT" if mode == "otf1024" else "SHT")
     print(json.dumps({
         "metric": f"{kind} transforms/sec/chip (roundtrip, "
                   f"nside={nside}, lmax={lmax}, batch={batch}, {dtype}, "
@@ -234,6 +244,16 @@ def main():
     r = _run_inner({"COMMANDER_TPU_BENCH_MODE": "spin2"}, 560)
     if r and "_err" not in r:
         secondary.append(r)
+
+    # 4. large-lmax tableless secondary: nside-1024 / lmax-2048 roundtrip
+    # on the fused Pallas OTF kernel (regression guard for the
+    # BASELINE-config-3 regime where no Legendre table fits in HBM)
+    # (first-ever run pays ~10 min of axon remote compiles; the persistent
+    # jax_compilation_cache makes subsequent runs ~20 s)
+    if "device=cpu" not in primary["metric"]:
+        r = _run_inner({"COMMANDER_TPU_BENCH_MODE": "otf1024"}, 900)
+        if r and "_err" not in r:
+            secondary.append(r)
 
     out = dict(primary)
     out["vs_baseline"] = round(float(primary["value"]) / anchor, 2)
