@@ -76,7 +76,7 @@ def apply_invN(sys: "AmplitudeSystem", m):
     out = m * sys.inv_rms2
     if sys.inv_qu is not None:
         msk = (sys.inv_rms2[:, 1:] > 0).astype(m.dtype)
-        qu = jnp.einsum("bpij,bjp->bip", sys.inv_qu, m[:, 1:] * msk)
+        qu = jnp.einsum("bpij,bjp->bip", sys.inv_qu, m[:, 1:] * msk, precision=jax.lax.Precision.HIGHEST)
         out = jnp.concatenate([out[:, :1], qu * msk], axis=1)
     return out
 
@@ -86,7 +86,7 @@ def apply_sqrt_invN(sys: "AmplitudeSystem", m):
     out = m * sys.inv_rms
     if sys.sqrt_inv_qu is not None:
         msk = (sys.inv_rms[:, 1:] > 0).astype(m.dtype)
-        qu = jnp.einsum("bpij,bjp->bip", sys.sqrt_inv_qu, m[:, 1:] * msk)
+        qu = jnp.einsum("bpij,bjp->bip", sys.sqrt_inv_qu, m[:, 1:] * msk, precision=jax.lax.Precision.HIGHEST)
         out = jnp.concatenate([out[:, :1], qu * msk], axis=1)
     return out
 
@@ -131,7 +131,7 @@ def _sqrtS(sys: AmplitudeSystem, u):
     if sys.sqrtS_mat is not None:
         # Stokes-coupled symmetric root (TE coupling); self-adjoint, so the
         # same einsum serves both S^1/2 applications in the CG operator.
-        out = jnp.einsum("clxy,cylm->cxlm", sys.sqrtS_mat, u)
+        out = jnp.einsum("clxy,cylm->cxlm", sys.sqrtS_mat, u, precision=jax.lax.Precision.HIGHEST)
         return real_m0(out * sys.tri)
     return real_m0(apply_sqrtS(sys.cl, u) * sys.tri)
 
@@ -140,14 +140,14 @@ def _project_bands(sys: AmplitudeSystem, plan, a):
     """a (C,S,nl,nm) -> band alms (B,S,nl,nm): alm_b = bl_b * sum_c F_bc a_c.
     Reference: the getBand accumulation in cr_matmulA (comm_cr_mod:843-954).
     """
-    alm_b = jnp.einsum("bcs,cslm->bslm", sys.F, a)
+    alm_b = jnp.einsum("bcs,cslm->bslm", sys.F, a, precision=jax.lax.Precision.HIGHEST)
     return alm_b * sys.bl[..., None]
 
 
 def _project_bands_T(sys: AmplitudeSystem, plan, alm_b):
     """Transpose of _project_bands: (B,S,nl,nm) -> (C,S,nl,nm)."""
     alm_b = alm_b * sys.bl[..., None]
-    return jnp.einsum("bcs,bslm->cslm", sys.F, alm_b)
+    return jnp.einsum("bcs,bslm->cslm", sys.F, alm_b, precision=jax.lax.Precision.HIGHEST)
 
 
 def _synth(plan, alm_b):
@@ -175,7 +175,7 @@ def _forward_pixmix(sys: AmplitudeSystem, plan, a):
     transpose below is EXACT (the quadrature map2alm differs only in the
     m=0 spin-2 epsilon convention)."""
     u = _synth(plan, a)                                # (C, S, P)
-    s_b = jnp.einsum("bcsp,csp->bsp", sys.F_pix, u)
+    s_b = jnp.einsum("bcsp,csp->bsp", sys.F_pix, u, precision=jax.lax.Precision.HIGHEST)
     alm_b = _synth_T(plan, s_b * _pix_weights(plan)) * sys.bl[..., None]
     return _synth(plan, alm_b)
 
@@ -184,7 +184,7 @@ def _forward_pixmix_T(sys: AmplitudeSystem, plan, g_b):
     """Exact adjoint of _forward_pixmix."""
     alm_b = _synth_T(plan, g_b) * sys.bl[..., None]
     t_b = _synth(plan, alm_b) * _pix_weights(plan)     # adjoint of Yt(w .)
-    v_c = jnp.einsum("bcsp,bsp->csp", sys.F_pix, t_b)
+    v_c = jnp.einsum("bcsp,bsp->csp", sys.F_pix, t_b, precision=jax.lax.Precision.HIGHEST)
     return _synth_T(plan, v_c)
 
 
@@ -235,17 +235,13 @@ def build_preconditioner(sys: AmplitudeSystem, plan):
     (comm_diffuse_comp_mod.f90:1313-1558), built as ONE batched inverse.
     Returns apply(r) closure.
     """
-    npix = sys.inv_rms2.shape[-1]
-    omega = 4.0 * np.pi / npix
-    kappa = jnp.sum(sys.inv_rms2, axis=-1) * omega * (npix / (4.0 * np.pi)) ** 0
-    # kappa_bs: harmonic-space diagonal of Yt invN Y is sum_p invN_p |Y|^2
-    # ~ (1/4pi) sum_p invN_p * Omega_p * (npix/4pi * Omega) ... for uniform
-    # invN: (npix invN /4pi). General: sum_p invN_p / (4 pi) * Omega_p*npix/..
+    # kappa_bs: harmonic-space diagonal of Yt invN Y = sum_p invN_p |Y_lm(p)|^2
+    # ~ sum_p invN_p / (4 pi), exact for uniform invN.
     kappa = jnp.sum(sys.inv_rms2, axis=-1) / (4.0 * np.pi)
     sqcl = jnp.sqrt(jnp.maximum(sys.cl, 0.0))      # (C,S,nl)
     fb = jnp.einsum("bcs,bsl->bcsl", sys.F, sys.bl)  # F_bc b_l
     # G[s,l,c,d] = sum_b F_bc b_l F_bd b_l kappa_b
-    G = jnp.einsum("bcsl,bdsl,bs->slcd", fb, fb, kappa)
+    G = jnp.einsum("bcsl,bdsl,bs->slcd", fb, fb, kappa, precision=jax.lax.Precision.HIGHEST)
     S_half = jnp.einsum("csl->slc", sqcl)
     M = jnp.eye(sys.F.shape[1]) + S_half[..., :, None] * G * S_half[..., None, :]
     # Jacobi equilibration before the batched inverse: at production lmax
@@ -259,7 +255,7 @@ def build_preconditioner(sys: AmplitudeSystem, plan):
     M_inv = jnp.linalg.inv(Mn) * E[..., :, None] * E[..., None, :]
 
     def apply(r):
-        return jnp.einsum("slcd,dslm->cslm", M_inv, r)
+        return jnp.einsum("slcd,dslm->cslm", M_inv, r, precision=jax.lax.Precision.HIGHEST)
 
     return apply
 
@@ -292,7 +288,7 @@ def build_preconditioner_pseudoinv(sys: AmplitudeSystem, plan):
     alpha = jnp.sqrt(jnp.where(s1 > 0, s2 / jnp.maximum(s1, 1e-300), 0.0))
     sqcl = jnp.sqrt(jnp.maximum(sys.cl, 0.0))            # (C,S,nl)
     # U_data[s,l,b,c] = alpha[b,s] * bl[b,s,l] * F[b,c,s] * sqcl[c,s,l]
-    U_data = jnp.einsum("bs,bsl,bcs,csl->slbc", alpha, sys.bl, sys.F, sqcl)
+    U_data = jnp.einsum("bs,bsl,bcs,csl->slbc", alpha, sys.bl, sys.F, sqcl, precision=jax.lax.Precision.HIGHEST)
     eye = jnp.broadcast_to(jnp.eye(C, dtype=U_data.dtype), (S, nl, C, C))
     U = jnp.concatenate([U_data, eye], axis=2)           # (S,nl,B+C,C)
     pinvU = jnp.linalg.pinv(U)                           # (S,nl,C,B+C)
@@ -306,15 +302,15 @@ def build_preconditioner_pseudoinv(sys: AmplitudeSystem, plan):
     def apply(r):
         r = real_m0(r * sys.tri)
         # data section: band alms from (U^+)^T, then T_b^-1, then U^+
-        alm_b = jnp.einsum("slcb,cslm->bslm", P_data, r)
+        alm_b = jnp.einsum("slcb,cslm->bslm", P_data, r, precision=jax.lax.Precision.HIGHEST)
         m = _synth(plan, alm_b) * w_pix                  # W Y
         m = m * N_pix                                    # N
         alm_b = _synth_T(plan, m * w_pix)                # Yt W
         alm_b = alm_b * alpha2[..., None, None]
-        z = jnp.einsum("slcb,bslm->cslm", P_data, alm_b)
+        z = jnp.einsum("slcb,bslm->cslm", P_data, alm_b, precision=jax.lax.Precision.HIGHEST)
         # prior section: P_prior P_prior^T r
-        w2 = jnp.einsum("sldc,dslm->cslm", P_prior, r)
-        z = z + jnp.einsum("slcd,dslm->cslm", P_prior, w2)
+        w2 = jnp.einsum("sldc,dslm->cslm", P_prior, r, precision=jax.lax.Precision.HIGHEST)
+        z = z + jnp.einsum("slcd,dslm->cslm", P_prior, w2, precision=jax.lax.Precision.HIGHEST)
         return real_m0(z * sys.tri)
 
     return apply

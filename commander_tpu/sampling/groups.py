@@ -223,7 +223,8 @@ def build_groups(cfg, diffuse_names, template_names, has_ptsrc,
         if not os.path.isabs(mpath):
             mpath = os.path.join(data_dir or ".", mpath)
         if not os.path.exists(mpath):
-            return None
+            raise FileNotFoundError(
+                f"CG sampling group mask file not found: {mpath}")
         mm = np.asarray(fitsio.read_map(mpath))
         nsm = int(np.sqrt(mm.shape[-1] / 12))
         nso = int(np.sqrt(npix / 12))

@@ -336,9 +336,10 @@ def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
     block_m = min(block_m, _rup(nm, 128))
     nl_p = _rup(nl, 8)
     if max_b is None:
-        # the (B, nl, BM) out blocks stay VMEM-resident (and Mosaic may
-        # double-buffer them): keep 2 x out under ~5 MB of the 16 MB VMEM
-        max_b = max(1, int(5e6 // (2 * nl_p * block_m * 4)))
+        # TWO (B, nl, BM) out blocks (a_re, a_im) stay VMEM-resident and
+        # Mosaic may double-buffer each: keep 2 x 2 x out under ~5 MB of
+        # the 16 MB VMEM
+        max_b = max(1, int(5e6 // (2 * 2 * nl_p * block_m * 4)))
     seeds, seede, A, B, beta, x = _coeff_pack(
         nside, otf.lmax, otf.mp, otf.mmax, block_h, block_m, 8)
     nh_p, nm_p = seeds.shape

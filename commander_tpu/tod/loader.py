@@ -53,7 +53,8 @@ def write_archive(path: str, nside: int, fsamp: float, det_names: list,
             f.create_dataset(f"{pid}/common/ntod", data=[nt])
             f.create_dataset(f"{pid}/common/time", data=[0.0, 0.0, 0.0])
             f.create_dataset(f"{pid}/common/vsun", data=np.asarray(sc["vsun"]))
-            f.create_dataset(f"{pid}/common/satpos", data=[0.0, 0.0])
+            f.create_dataset(f"{pid}/common/satpos",
+                             data=np.asarray(sc.get("satpos", [0.0, 0.0])))
             f.create_dataset(f"{pid}/common/hufftree", data=tree)
             f.create_dataset(f"{pid}/common/huffsymb", data=symb)
             for d, det in enumerate(det_names):
@@ -82,14 +83,15 @@ def _decode_stream(ds, tree, symb, ntod):
     return np.cumsum(vals)
 
 
-def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0,
+def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = 0,
                  scan_ids=None, dets=None):
     """Load an archive into (TodBlock, TodState seed, meta dict).
 
     Scans are padded to max ntod; padded samples have mask 0. Samples whose
-    flag has any bit of bad_flag_bits set are masked (BAND_TOD_FLAG in the
-    reference parameter files). scan_ids restricts to those 1-based PIDs;
-    dets restricts to a detector subset (BAND_TOD_DETECTOR_LIST)."""
+    flag has any bit of bad_flag_bits set are masked — iand(flag, flag0)!=0,
+    comm_tod_mod.f90:1331 — so bad_flag_bits=0 (the BAND_TOD_FLAG default)
+    masks nothing. scan_ids restricts to those 1-based PIDs; dets restricts
+    to a detector subset (BAND_TOD_DETECTOR_LIST)."""
     with h5py.File(path, "r") as f:
         fsamp = float(np.asarray(f["common/fsamp"]))
         nside = int(np.asarray(f["common/nside"])[0])
@@ -100,7 +102,16 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0,
         pids = sorted(k for k in f.keys() if k.isdigit())
         if scan_ids is not None:
             want = {int(s) for s in scan_ids}
+            have = {int(p) for p in pids}
+            missing = sorted(want - have)
+            if missing:
+                raise KeyError(
+                    f"archive {path!r} is missing requested scan ids "
+                    f"{missing} (archive holds {sorted(have)[:5]}... "
+                    f"{len(have)} scans)")
             pids = [p for p in pids if int(p) in want]
+        if not pids:
+            raise ValueError(f"archive {path!r} contains no scan groups")
         ntods = [int(np.asarray(f[f"{p}/common/ntod"])[0]) for p in pids]
         nt_max = max(ntods)
         Ns, Nd = len(pids), len(dets)
@@ -109,12 +120,15 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0,
         psi = np.zeros((Ns, Nd, nt_max), np.float64)
         mask = np.zeros((Ns, Nd, nt_max), np.float64)
         vsun = np.zeros((Ns, 3), np.float64)
+        satpos = np.zeros((Ns, 2), np.float64)
         scal = np.ones((Ns, Nd, 4), np.float64)
         for s, p in enumerate(pids):
             nt = ntods[s]
             tree = np.asarray(f[f"{p}/common/hufftree"], np.int64)
             symb = np.asarray(f[f"{p}/common/huffsymb"], np.int64)
             vsun[s] = np.asarray(f[f"{p}/common/vsun"])
+            if f"{p}/common/satpos" in f:
+                satpos[s] = np.asarray(f[f"{p}/common/satpos"])[:2]
             for d, det in enumerate(dets):
                 g = f[f"{p}/{det}"]
                 pix[s, d, :nt] = _decode_stream(g["pix"], tree, symb, nt)
@@ -128,7 +142,8 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = ~0,
                     scal[s, d] = np.asarray(g["scalars"])
     block = TodBlock(tod=jnp.asarray(tod), pix=jnp.asarray(pix),
                      psi=jnp.asarray(psi), mask=jnp.asarray(mask),
-                     vsun=jnp.asarray(vsun), fsamp=fsamp)
+                     vsun=jnp.asarray(vsun), fsamp=fsamp,
+                     satpos=jnp.asarray(satpos))
     state = TodState(gain=jnp.asarray(scal[..., 0]),
                      sigma0=jnp.asarray(scal[..., 1]),
                      fknee=jnp.asarray(scal[..., 2]),
@@ -236,7 +251,8 @@ def load_band_tod(filelist_path: str, data_dir: str | None = None,
         states.append(st)
         if meta is None:
             meta = m
-        elif m["nside"] != meta["nside"] or m["dets"] != meta["dets"]:
+        elif (m["nside"] != meta["nside"] or m["dets"] != meta["dets"]
+              or m["fsamp"] != meta["fsamp"] or m["npsi"] != meta["npsi"]):
             raise ValueError(f"inconsistent archives in {filelist_path!r}: "
                              f"{m} vs {meta}")
     nt = max(b.ntod for b in blocks)
@@ -254,7 +270,9 @@ def load_band_tod(filelist_path: str, data_dir: str | None = None,
                      mask=cat("mask"),
                      vsun=jnp.asarray(np.concatenate(
                          [np.asarray(b.vsun) for b in blocks], axis=0)),
-                     fsamp=blocks[0].fsamp)
+                     fsamp=blocks[0].fsamp,
+                     satpos=jnp.asarray(np.concatenate(
+                         [np.asarray(b.satpos) for b in blocks], axis=0)))
     state = TodState(
         gain=jnp.concatenate([s.gain for s in states], axis=0),
         sigma0=jnp.concatenate([s.sigma0 for s in states], axis=0),

@@ -239,9 +239,12 @@ def test_ptsrc_catalog_reader(tmp_path):
     cfg = _cfg()
     for c in cfg.comps:
         c.template_file = None
+    from commander_tpu.io.fits import write_map
+    rms8 = np.full((1, 12 * 64), 3.0, np.float32)
+    write_map(str(tmp_path / "rms8.fits"), rms8)
     for b in cfg.bands:
         b.mapfile = None
-        b.noisefile = None
+        b.noisefile = "rms8.fits"
         b.maskfile = None
         b.beamfile = None
     cat = tmp_path / "cat.dat"
