@@ -77,3 +77,91 @@ def load_beam_bl_fits(path: str, lmax: int) -> np.ndarray:
     n = min(lmax + 1, cols.shape[0])
     out[:n] = cols[:n]
     return out
+
+
+# ---------------------------------------------------------------------------
+# TOD instrument (RIMO) files: per-detector sidelobe/main-beam alms
+# (BAND_TOD_RIMO; read by load_instrument_file, comm_tod_mod.f90:334-380;
+# written by commander_instrument.py add_alms: real-packed alms at
+# index l^2+l+m with m<0 slots holding sqrt(2)-scaled imaginary parts)
+# ---------------------------------------------------------------------------
+
+def _realpacked_to_complex(vals: np.ndarray, lmax: int, mmax: int):
+    """Real-packed alms (lfi.complex2realAlms layout) -> complex (nl, nm).
+
+    vals[l^2+l+m] = sqrt(2) Re a_lm (m>0), vals[l^2+l-m] = sqrt(2) Im a_lm,
+    vals[l^2+l] = a_l0 (real). Returns (lmax+1, mmax+1) complex128."""
+    out = np.zeros((lmax + 1, mmax + 1), np.complex128)
+    for l in range(lmax + 1):
+        base = l * l + l
+        out[l, 0] = vals[base]
+        for m in range(1, min(l, mmax) + 1):
+            out[l, m] = (vals[base + m] + 1j * vals[base - m]) / np.sqrt(2.0)
+    return out
+
+
+def _complex_to_realpacked(alm: np.ndarray):
+    """Inverse of _realpacked_to_complex: (nl, nm) complex -> (nl^2,) real."""
+    nl, nm = alm.shape
+    lmax = nl - 1
+    vals = np.zeros((lmax + 1) ** 2)
+    for l in range(lmax + 1):
+        base = l * l + l
+        vals[base] = alm[l, 0].real
+        for m in range(1, min(l, nm - 1) + 1):
+            vals[base + m] = np.sqrt(2.0) * alm[l, m].real
+            vals[base - m] = np.sqrt(2.0) * alm[l, m].imag
+    return vals
+
+
+def load_rimo_tod(path: str, dets: list[str]):
+    """Per-detector TOD instrument data from a Commander RIMO HDF file.
+
+    Returns dict det -> {'sl': (sllmax+1, slmmax+1) complex sidelobe beam
+    alms, 'beam': main-beam alms or None, 'fwhm': arcmin, 'centFreq': GHz,
+    'elip', 'psi_ell', 'mbeam_eff'} mirroring load_instrument_file
+    (comm_tod_mod.f90:334-380)."""
+    import h5py
+
+    out = {}
+    with h5py.File(path, "r") as f:
+        for det in dets:
+            g = f[det]
+            d = {}
+            for k in ("fwhm", "elip", "psi_ell", "mbeam_eff", "centFreq"):
+                d[k] = float(np.asarray(g[k])) if k in g else 0.0
+            for field in ("sl", "beam"):
+                if field in g and f"{field}lmax" in g:
+                    lmax = int(np.asarray(g[f"{field}lmax"]).reshape(-1)[0])
+                    mmax = int(np.asarray(g[f"{field}mmax"]).reshape(-1)[0])
+                    vals = np.asarray(g[f"{field}/T"], np.float64).reshape(-1)
+                    d[field] = _realpacked_to_complex(vals, lmax, mmax)
+                else:
+                    d[field] = None
+            out[det] = d
+    return out
+
+
+def write_rimo_tod(path: str, dets: dict):
+    """Write a format-compatible RIMO file (test fixtures / converters).
+
+    dets: det -> dict with optional 'sl'/'beam' complex (nl, nm) alms and
+    scalar fields; layout matches commander_instrument.py add_alms."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        for det, d in dets.items():
+            for k in ("fwhm", "elip", "psi_ell", "mbeam_eff", "centFreq"):
+                f.create_dataset(f"{det}/{k}", data=float(d.get(k, 0.0)))
+            for field in ("sl", "beam"):
+                alm = d.get(field)
+                if alm is None:
+                    continue
+                alm = np.asarray(alm)
+                f.create_dataset(f"{det}/{field}/T",
+                                 data=_complex_to_realpacked(alm))
+                f.create_dataset(f"{det}/{field}lmax", data=[alm.shape[0] - 1])
+                f.create_dataset(f"{det}/{field}mmax", data=[alm.shape[1] - 1])
+            if "bandpassx" in d:
+                f.create_dataset(f"{det}/bandpassx", data=d["bandpassx"])
+                f.create_dataset(f"{det}/bandpass", data=d["bandpass"])

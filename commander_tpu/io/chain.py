@@ -138,6 +138,32 @@ class ChainFile:
                 out["comps"][name] = fields
         return out
 
+    def write_tod_state(self, i: int, band_label: str, tod: dict):
+        """Per-band TOD instrument state under <samp>/tod/<band> — the
+        reference's tod%dumpToHDF chain output (comm_output_mod.f90:91-374;
+        gain and xi_n = (sigma0, fknee, alpha) per scan x det, plus per-det
+        monopoles), so restart resumes the SAMPLED TOD state rather than
+        the archive warm start (tod%initHDF)."""
+        g = self.f.require_group(f"{self.sample_name(i)}/tod/{band_label}")
+        for k, v in tod.items():
+            if v is None:
+                continue
+            if k in g:
+                del g[k]
+            g.create_dataset(k, data=np.asarray(v))
+        self.f.flush()
+
+    def read_tod_state(self, i: int) -> dict:
+        """{band_label: {field: array}} stored by write_tod_state (empty
+        when the sample predates TOD-state checkpointing)."""
+        path = f"{self.sample_name(i)}/tod"
+        if path not in self.f:
+            return {}
+        out = {}
+        for band, item in self.f[path].items():
+            out[band] = {k: np.asarray(v) for k, v in item.items()}
+        return out
+
     def write_metadata(self, meta: dict):
         pg = self.f.require_group("parameters")
         for k, v in meta.items():

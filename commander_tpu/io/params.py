@@ -133,6 +133,8 @@ class BandConfig:
     tod_start_scan: int = 1                # BAND_TOD_START_SCANID
     tod_end_scan: int = 2 ** 31 - 1        # BAND_TOD_END_SCANID
     tod_detectors: Optional[tuple] = None  # BAND_TOD_DETECTOR_LIST
+    tod_rimo: Optional[str] = None         # BAND_TOD_RIMO (instrument HDF)
+    tod_bp_delta_init: float = 0.0         # BAND_TOD_BP_INIT_PROP (shift)
 
 
 @dataclasses.dataclass
@@ -198,6 +200,11 @@ class RunConfig:
     # user-defined CG sampling groups (CG_SAMPLING_GROUPxx keys):
     # list of dicts {comps: [labels], mask: str|None, maxiter: int}
     cg_user_groups: list = dataclasses.field(default_factory=list)
+    include_tod_zodi: bool = False        # TOD_INCLUDE_ZODI
+    sample_tod_mono: bool = False         # SAMPLE_TOD_MONOPOLE (TOD-level
+    #                                       per-det monopoles; sample_mono,
+    #                                       comm_tod_mapmaking_mod.f90:300)
+    tod_num_bp_prop: int = 1              # NUM_BP_PROPOSALS_PER_ITER
 
 
 # per-type spectral index key names in the reference param files
@@ -246,6 +253,7 @@ def lower_params(p: Params) -> RunConfig:
                 s.strip() for s in str(p.get_indexed(
                     "BAND_TOD_DETECTOR_LIST", i)).split(","))
                 if p.get_indexed("BAND_TOD_DETECTOR_LIST", i) else None),
+            tod_rimo=p.get_indexed("BAND_TOD_RIMO", i),
             sample_bandpass=bool(p.get_indexed("BAND_SAMP_BANDPASS", i,
                                                False)),
             bandpass_model=str(p.get_indexed("BAND_BANDPASS_MODEL", i,
@@ -363,6 +371,9 @@ def lower_params(p: Params) -> RunConfig:
         sample_specind=bool(p.get("SAMPLE_SPECTRAL_INDICES", False)),
         sample_powspec=bool(p.get("SAMPLE_POWSPEC", False)),
         enable_tod=bool(p.get("ENABLE_TOD_ANALYSIS", False)),
+        include_tod_zodi=bool(p.get("TOD_INCLUDE_ZODI", False)),
+        sample_tod_mono=bool(p.get("SAMPLE_TOD_MONOPOLE", False)),
+        tod_num_bp_prop=int(p.get("NUM_BP_PROPOSALS_PER_ITER", 1)),
         output_input_model=bool(p.get("OUTPUT_INPUT_MODEL", False)),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
         init_chain=(lambda v: None if v is None or str(v).lower() == "none"

@@ -262,6 +262,11 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                 raise FileNotFoundError(
                     f"BAND_NOISEFILE {b.noisefile!r} for band {b.label} "
                     f"not found (resolved {npath!r})")
+            else:
+                raise ValueError(
+                    f"band {b.label} has no BAND_NOISEFILE; real-data runs "
+                    f"require a noise rms map per band (the reference reads "
+                    f"one unconditionally, comm_data_mod.f90:74)")
         data = np.stack(maps)
         truth = None
 
@@ -458,14 +463,24 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
             ps, cl_cfgs)
 
 
-def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False):
+def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False,
+                       dtype="float64"):
     """Read real TOD archives for every band with a BAND_TOD_FILELIST —
     the reference's initialize-TOD path (get_scan_ids + read_tod,
     comm_tod_mod.f90:643-799; huffman pointing decode per scan). Scalars
     from the archives warm-start the per-scan (gain, sigma0, fknee, alpha)
     state, as read_hdf_scan does. Returns {band_index: (TodConfig, block,
-    state, kind)} for those bands; bands without a filelist fall through to
-    the synthetic simulator (tests)."""
+    state, kind, aux)} for those bands; bands without a filelist fall
+    through to the synthetic simulator (tests).
+
+    aux carries the per-band TOD physics the per-scan signal sum needs
+    beyond the sky model (comm_tod_LFI_mod.f90:618-663): per-det sidelobe
+    beam alms from BAND_TOD_RIMO (load_instrument_file,
+    comm_tod_mod.f90:334-380), the static zodi template when
+    TOD_INCLUDE_ZODI (compute_zodi_template), and the per-det monopole
+    state when SAMPLE_TOD_MONOPOLE."""
+    import jax.numpy as jnp
+
     from .tod.loader import load_band_tod
     from .tod.process import TodConfig
 
@@ -484,7 +499,7 @@ def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False):
                 f"(resolved {path!r})")
         block, tstate, meta = load_band_tod(
             path, data_dir=os.path.dirname(path),
-            bad_flag_bits=(band.tod_flag if band.tod_flag else ~0),
+            bad_flag_bits=int(band.tod_flag),
             dets=band.tod_detectors, first_scan=band.tod_start_scan,
             last_scan=band.tod_end_scan)
         if meta["nside"] != nside:
@@ -492,10 +507,70 @@ def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False):
                 f"band {band.label}: archive nside {meta['nside']} != run "
                 f"nside {nside} (per-band TOD resolutions go through "
                 f"run_multires)")
-        tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ)
+        tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ,
+                         sample_mono=bool(getattr(cfg, "sample_tod_mono",
+                                                  False)))
         kind = "diff" if str(band.tod_type).upper() == "WMAP" else "lfi"
-        blocks[b] = (tcfg, block, tstate, kind)
+        aux = _setup_tod_aux(cfg, band, block, meta, nside, data_dir,
+                             dtype, kind, synthetic=synthetic)
+        blocks[b] = (tcfg, block, tstate, kind, aux)
     return blocks
+
+
+def _setup_tod_aux(cfg, band, block, meta, nside, data_dir, dtype, kind,
+                   synthetic=False):
+    """Static per-band TOD-physics inputs: sidelobe beam alms + degraded
+    pointing, zodi template, monopole state."""
+    import jax.numpy as jnp
+
+    from .sphere import sht
+    from .tod import conviqt as cvq
+
+    aux = dict(sl_blm=None, sl_plan=None, sl_tables=None, sl_pix=None,
+               zodi=None, mono=None, dets=meta.get("dets"))
+    if band.tod_rimo and kind == "lfi":
+        rpath = band.tod_rimo
+        if not os.path.isabs(rpath):
+            rpath = os.path.join(data_dir or ".", rpath)
+        if os.path.exists(rpath):
+            from .instrument.files import load_rimo_tod
+            rimo = load_rimo_tod(rpath, meta["dets"])
+            sls = [rimo[d]["sl"] for d in meta["dets"]]
+            if all(s is not None for s in sls):
+                lmax_sl = max(s.shape[0] - 1 for s in sls)
+                mmax_sl = min(max(s.shape[1] - 1 for s in sls), 8)
+                # sidelobe structures live at low lmax (the reference
+                # truncates to lmax 100, comm_tod_LFI_mod.f90:442); a small
+                # dedicated plan keeps the per-iteration rebuild cheap
+                ns_sl = 16
+                while 2 * ns_sl < lmax_sl:
+                    ns_sl *= 2
+                ns_sl = min(ns_sl, nside)
+                blms = np.zeros((len(sls), lmax_sl + 1, mmax_sl + 1),
+                                np.complex128)
+                for d, s in enumerate(sls):
+                    blms[d, :s.shape[0], :mmax_sl + 1] = \
+                        s[:, :mmax_sl + 1]
+                aux["sl_blm"] = jnp.asarray(blms)
+                aux["sl_plan"] = sht.get_plan(ns_sl, lmax_sl, dtype=dtype)
+                aux["sl_tables"] = cvq.conviqt_tables(ns_sl, lmax_sl,
+                                                      mmax_sl, dtype)
+                tab = cvq.degrade_table(nside, ns_sl)
+                aux["sl_pix"] = jnp.asarray(tab)[block.pix]
+        elif not synthetic:
+            raise FileNotFoundError(
+                f"BAND_TOD_RIMO {band.tod_rimo!r} not found "
+                f"(resolved {rpath!r})")
+    if getattr(cfg, "include_tod_zodi", False) and kind == "lfi" \
+            and block.satpos is not None:
+        from .tod import zodi as zodi_mod
+        nu = band.nominal_freq_ghz * GHZ
+        s_z = zodi_mod.zodi_tod_template(nside, block.pix, block.satpos, nu)
+        aux["zodi"] = (s_z * zodi_mod.mjysr_to_uk_cmb(nu)).astype(
+            block.tod.dtype)
+    if getattr(cfg, "sample_tod_mono", False) and kind == "lfi":
+        aux["mono"] = jnp.zeros((block.ndet,), block.tod.dtype)
+    return aux
 
 
 def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=()):
@@ -523,14 +598,64 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=()):
                 nside, sky0[b], nscan=4, ndet=2, ntod=2048,
                 sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
                 gain0=1.0, seed=seed + b)
-            blocks[b] = (tcfg, block, init_tod_state(block), "diff")
+            blocks[b] = (tcfg, block, init_tod_state(block), "diff",
+                         _empty_tod_aux())
         else:
             block, truth = simulate_tod(
                 nside, sky0[b], nscan=8, ndet=2, ntod=4096,
                 sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
                 gain0=1.0, seed=seed + b)
-            blocks[b] = (tcfg, block, init_tod_state(block), "lfi")
+            aux = _empty_tod_aux()
+            if getattr(cfg, "sample_tod_mono", False):
+                tcfg = dataclasses.replace(tcfg, sample_mono=True)
+                aux["mono"] = jnp.zeros((block.ndet,), block.tod.dtype)
+            blocks[b] = (tcfg, block, init_tod_state(block), "lfi", aux)
     return blocks
+
+
+def _empty_tod_aux():
+    return dict(sl_blm=None, sl_plan=None, sl_tables=None, sl_pix=None,
+                zodi=None, mono=None, dets=None)
+
+
+def _init_band_maps_from_tod(cfg, sys, tod_blocks, nside, key):
+    """Seed archive-backed bands' (map, rms) from one rejection-free,
+    sky-model-free TOD pass: gain anchored by the orbital dipole alone,
+    static templates (zodi) removed. This is the data the reference's
+    input band maps represent (previous mapmaking output)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .sphere import healpix
+    from .tod.process import process_tod
+
+    pvec = jnp.asarray(healpix.pix2vec_ring(nside))
+    S = sys.data.shape[1]
+    new_data = np.array(np.asarray(sys.data))
+    with np.errstate(divide="ignore"):
+        new_rms = np.array(1.0 / np.maximum(np.asarray(sys.inv_rms), 1e-30))
+    for b, (tcfg, block, tstate, kind, aux) in tod_blocks.items():
+        if kind != "lfi":
+            continue
+        tcfg0 = dataclasses.replace(tcfg, chisq_reject_sigma=1e30,
+                                    sample_mono=False)
+        zero_sky = jnp.zeros((3 if tcfg.pol else 1, new_data.shape[-1]),
+                             sys.data.dtype)
+        key, k = jax.random.split(key)
+        step0 = jax.jit(process_tod, static_argnums=0)
+        tstate, prod = step0(tcfg0, block, tstate, zero_sky, pvec, k,
+                             None, aux["zodi"], None, None)
+        tod_blocks[b] = (tcfg, block, tstate, kind, aux)
+        hit = np.asarray(prod["rms"][0]) > 0
+        new_data[b, 0, hit] = np.asarray(prod["map"][0])[hit]
+        new_rms[b, 0, hit] = np.asarray(prod["rms"][0])[hit]
+        new_rms[b, 0, ~hit] = 0.0
+    good = new_rms > 0
+    safe = np.where(good, new_rms, 1.0)
+    return dataclasses.replace(
+        sys, data=jnp.asarray(new_data),
+        inv_rms=jnp.asarray(np.where(good, 1.0 / safe, 0.0)),
+        inv_rms2=jnp.asarray(np.where(good, 1.0 / safe ** 2, 0.0)))
 
 
 def _stokes_group(s: int, poltype: int) -> int:
@@ -912,17 +1037,51 @@ def _specind_step(key, cfg, pcfgs, diffuse, bps, sys, plan, state, thetas,
     return key, sys, thetas
 
 
-def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3):
+def _sl_fmaps_for_band(aux, alm_band):
+    """Rebuild the per-det sidelobe conviqt tables from the current band
+    sky alm (slconv construction, comm_tod_LFI_mod.f90:431-446). alm_band:
+    (S, nl, nm) beam-convolved band alm; returns (Nd, M+1, 2, npix_sl) or
+    None."""
+    import jax.numpy as jnp
+    if aux.get("sl_blm") is None:
+        return None
+    from .tod.conviqt import build_sl_fmaps
+    plan_sl = aux["sl_plan"]
+    nl_sl = plan_sl.lmax + 1
+    aT = alm_band[0]
+    nl = min(nl_sl, aT.shape[0])
+    a = jnp.zeros((nl_sl, nl_sl), aT.dtype)
+    a = a.at[:nl, :nl].set(aT[:nl, :nl])
+    return build_sl_fmaps(plan_sl, aux["sl_tables"], a, aux["sl_blm"])
+
+
+def _tod_burnin(tod_blocks, tod_step, sky_bands, key, npasses=3,
+                sl_fmaps=None):
     """A few TOD-only Gibbs passes so (gain, sigma0, n_corr) converge
     before their maps feed the component separation (the reference runs
     TOD processing from iteration 1 but its noise init comes from the
     archive scalars; synthetic runs need the burn-in)."""
     import jax
     for _ in range(npasses):
-        for b, (tcfg, block, tstate, kind) in tod_blocks.items():
+        for b, (tcfg, block, tstate, kind, aux) in tod_blocks.items():
             key, k = jax.random.split(key)
-            tstate, _ = tod_step[kind](tcfg, block, tstate, sky_bands[b], k)
-            tod_blocks[b] = (tcfg, block, tstate, kind)
+            # no chi^2 scan rejection while the sky model bootstraps (the
+            # reference gates its accept logic on .not. first_call,
+            # comm_tod_LFI_mod.f90:467): the initial model sky can be far
+            # from the TOD sky, and rejecting every scan would leave the
+            # band map empty forever
+            tcfg_b = dataclasses.replace(tcfg, chisq_reject_sigma=1e30)
+            if kind == "lfi":
+                tstate, prod = tod_step[kind](
+                    tcfg_b, block, tstate, sky_bands[b], k,
+                    (sl_fmaps or {}).get(b), aux["zodi"], aux["mono"],
+                    aux["sl_pix"])
+                if tcfg.sample_mono:
+                    aux["mono"] = prod["mono"]
+            else:
+                tstate, _ = tod_step[kind](tcfg_b, block, tstate,
+                                           sky_bands[b], k)
+            tod_blocks[b] = (tcfg, block, tstate, kind, aux)
     return key
 
 
@@ -1109,15 +1268,24 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
 
     tod_blocks = {}
     if tod and cfg.enable_tod:
-        # presample amplitudes from the initial band maps so the first TOD
-        # pass sees a real sky model (the reference warm-starts from init
-        # maps / chains, comm_signal_mod initialize_from_chain)
-        state = gibbs.gibbs_step(gcfg, sys, plan, state, ts, ps)
         # real archives take precedence (BAND_TOD_FILELIST); bands without
         # a filelist get the synthetic simulator (test fixtures)
         tod_blocks = _setup_archive_tod(cfg, meta["nside"],
                                         data_dir=data_dir,
-                                        synthetic=synthetic)
+                                        synthetic=synthetic, dtype=dtype)
+        # archive-backed bands: replace the band map with a sky-free TOD
+        # binning BEFORE the sky model is first fit, so the model/gain
+        # bootstrap from data that actually corresponds to the archives
+        # (the reference's input band maps ARE previous mapmaking output;
+        # ours may be unrelated synthetic fixtures)
+        if tod_blocks:
+            sys = _init_band_maps_from_tod(cfg, sys, tod_blocks,
+                                           meta["nside"],
+                                           jax.random.fold_in(key, 733))
+        # presample amplitudes from the (TOD-consistent) band maps so the
+        # first TOD pass sees a real sky model (the reference warm-starts
+        # from init maps / chains, comm_signal_mod initialize_from_chain)
+        state = gibbs.gibbs_step(gcfg, sys, plan, state, ts, ps)
         synth = _setup_synthetic_tod(cfg, plan, sys, diffuse,
                                      meta["nside"], seed=cfg.base_seed,
                                      skip=set(tod_blocks))
@@ -1126,18 +1294,54 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         pvec = jnp.asarray(healpix.pix2vec_ring(meta["nside"]))
         tod_step = {
             "lfi": jax.jit(
-                lambda tcfg, block, tstate, sky, k: process_tod(
-                    tcfg, block, tstate, sky, pvec, k),
+                lambda tcfg, block, tstate, sky, k, sl_fmaps=None,
+                s_extra=None, mono=None, sl_pix=None: process_tod(
+                    tcfg, block, tstate, sky, pvec, k, sl_fmaps,
+                    s_extra, mono, sl_pix),
                 static_argnums=0),
             "diff": jax.jit(
                 lambda tcfg, block, tstate, sky, k: process_tod_diff(
                     tcfg, block, tstate, sky, pvec, k),
                 static_argnums=0),
         }
+        band_alm_fn = jax.jit(amp._project_bands)
+        any_sl = any(aux.get("sl_blm") is not None
+                     for (_, _, _, _, aux) in tod_blocks.values())
+
+        def _all_sl_fmaps():
+            if not any_sl:
+                return {}
+            alms_b = band_alm_fn(sys, plan, state.a)
+            return {b: _sl_fmaps_for_band(aux, alms_b[b])
+                    for b, (_, _, _, _, aux) in tod_blocks.items()}
+
+        # restart: resume the SAMPLED TOD state from the chain (tod%initHDF,
+        # comm_output_mod.f90:91-374) instead of the archive warm start
+        tod_restored = False
+        if first > 0:
+            saved = ch.read_tod_state(first)
+            for b in list(tod_blocks):
+                tcfg_b, block_b, tstate_b, kind_b, aux_b = tod_blocks[b]
+                st = saved.get(cfg.bands[b].label)
+                if not st or st["gain"].shape != tstate_b.gain.shape:
+                    continue
+                from .tod.model import TodState
+                tstate_b = TodState(
+                    gain=jnp.asarray(st["gain"]),
+                    sigma0=jnp.asarray(st["sigma0"]),
+                    alpha=jnp.asarray(st["alpha"]),
+                    fknee=jnp.asarray(st["fknee"]),
+                    n_corr=tstate_b.n_corr)
+                if "mono" in st and aux_b.get("mono") is not None:
+                    aux_b["mono"] = jnp.asarray(st["mono"])
+                tod_blocks[b] = (tcfg_b, block_b, tstate_b, kind_b, aux_b)
+                tod_restored = True
         tkey0 = jax.random.fold_in(key, 772)
         _tod_burnin(tod_blocks, tod_step, sky_fn_state(sys, plan, state),
-                    tkey0)
-        status.update(f"tod init: {len(tod_blocks)} bands (burned in)")
+                    tkey0, sl_fmaps=_all_sl_fmaps(),
+                    npasses=1 if tod_restored else 3)
+        status.update(f"tod init: {len(tod_blocks)} bands "
+                      f"({'chain-restored' if tod_restored else 'burned in'})")
 
     tkey = jax.random.fold_in(key, 991)
     skey = jax.random.fold_in(key, 552)
@@ -1159,15 +1363,30 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         if tod_blocks:
             timer.start("tod")
             sky_bands = sky_fn_state(sys, plan, state)
+            sl_all = _all_sl_fmaps()
             new_data = np.array(np.asarray(sys.data))
             with np.errstate(divide="ignore"):
                 new_rms = np.array(1.0 / np.maximum(np.asarray(sys.inv_rms),
                                                     1e-30))
-            for b, (tcfg, block, tstate, kind) in tod_blocks.items():
+            for b, (tcfg, block, tstate, kind, aux) in tod_blocks.items():
                 tkey, k = jax.random.split(tkey)
-                tstate, prod = tod_step[kind](tcfg, block, tstate,
-                                              sky_bands[b], k)
-                tod_blocks[b] = (tcfg, block, tstate, kind)
+                # first Gibbs iteration = the reference's first_call: the
+                # sky model has not yet seen the TOD maps, so scan
+                # rejection stays off (comm_tod_LFI_mod.f90:467)
+                tcfg_use = (dataclasses.replace(tcfg,
+                                                chisq_reject_sigma=1e30)
+                            if it == first + 1 else tcfg)
+                if kind == "lfi":
+                    tstate, prod = tod_step[kind](
+                        tcfg_use, block, tstate, sky_bands[b], k,
+                        sl_all.get(b), aux["zodi"], aux["mono"],
+                        aux["sl_pix"])
+                    if tcfg.sample_mono:
+                        aux["mono"] = prod["mono"]
+                else:
+                    tstate, prod = tod_step[kind](tcfg_use, block, tstate,
+                                                  sky_bands[b], k)
+                tod_blocks[b] = (tcfg, block, tstate, kind, aux)
                 # --- bandpass-shift MH on the TOD chi^2 (sample_bp,
                 # comm_tod_bandpass_mod.f90:28; proposal/accept flow of
                 # commander.f90:299-335) ---
@@ -1180,10 +1399,14 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                     sys_prop = _rebuild_mixing(diffuse, bps, thetas,
                                                ds.tolist(), sys)
                     sky_prop = sky_fn_state(sys_prop, plan, state)
+                    _aux_kw = dict(sl_fmaps=sl_all.get(b),
+                                   s_extra=aux["zodi"], mono=aux["mono"],
+                                   sl_pix=aux["sl_pix"]) \
+                        if kind == "lfi" else {}
                     c2_cur = tod_chisq_fn(tcfg, block, tstate,
-                                          sky_bands[b], pvec)
+                                          sky_bands[b], pvec, **_aux_kw)
                     c2_prop = tod_chisq_fn(tcfg, block, tstate,
-                                           sky_prop[b], pvec)
+                                           sky_prop[b], pvec, **_aux_kw)
                     d_new, acc = accept_bandpass_tod(
                         ka, c2_cur, c2_prop, bp_deltas[b], prop)
                     if bool(acc):
@@ -1330,6 +1553,16 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             if state.p is not None:
                 extra["ptsrc_amps"] = np.asarray(state.p)
             ch.write_sample(it, comps_out, gains=gains, extra=extra)
+            for b, (tcfg_b, _blk, tstate_b, kind_b, aux_b) \
+                    in tod_blocks.items():
+                ch.write_tod_state(it, cfg.bands[b].label, dict(
+                    gain=np.asarray(tstate_b.gain),
+                    sigma0=np.asarray(tstate_b.sigma0),
+                    alpha=np.asarray(tstate_b.alpha),
+                    fknee=np.asarray(tstate_b.fknee),
+                    mono=(None if aux_b.get("mono") is None
+                          else np.asarray(aux_b["mono"])),
+                    bp_delta=np.asarray([bp_deltas[b]])))
             timer.stop("output")
     ch.close()
     status.update("done")

@@ -83,3 +83,27 @@ def conviqt_interp(fmaps: jnp.ndarray, pix: jnp.ndarray, psi: jnp.ndarray):
         im = fmaps[mp, 1][pix]
         s = s + 2.0 * (re * jnp.cos(mp * psi) - im * jnp.sin(mp * psi))
     return s
+
+
+def degrade_table(nside_hi: int, nside_lo: int) -> np.ndarray:
+    """(npix_hi,) int32 RING pixel at nside_lo containing each nside_hi
+    pixel center — the reference's ind2sl mapping (comm_tod_mod.f90:312)."""
+    from ..sphere import healpix
+    if nside_hi == nside_lo:
+        return np.arange(12 * nside_hi * nside_hi, dtype=np.int32)
+    vec = np.asarray(healpix.pix2vec_ring(nside_hi))
+    th = np.arccos(np.clip(vec[:, 2], -1.0, 1.0))
+    ph = np.mod(np.arctan2(vec[:, 1], vec[:, 0]), 2.0 * np.pi)
+    return np.asarray(healpix.ang2pix_ring(nside_lo, th, ph), np.int32)
+
+
+def build_sl_fmaps(plan: SHTPlan, tables, alm_T: jnp.ndarray,
+                   blms: jnp.ndarray):
+    """Per-detector conviqt f-maps from the current band sky.
+
+    alm_T: (nl, nm) band temperature alm at the sidelobe plan's lmax;
+    blms: (Nd, nl, M+1) per-det sidelobe beam alms. Returns
+    (Nd, M+1, 2, npix_sl). The per-iteration rebuild of the reference's
+    slconv operators (comm_tod_LFI_mod.f90:431-446)."""
+    return jnp.stack([conviqt_precompute(plan, tables, alm_T, blms[d])
+                      for d in range(blms.shape[0])])

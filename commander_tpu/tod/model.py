@@ -44,6 +44,9 @@ class TodBlock:
     mask: jnp.ndarray     # (Ns, Nd, Nt) 1 = good sample (flags+padding)
     vsun: jnp.ndarray     # (Ns, 3) satellite velocity [m/s] per scan
     fsamp: float          # sampling frequency [Hz]
+    # (Ns, 2) observatory ecliptic (lon, lat) [deg] per scan (zodi geometry;
+    # comm_tod_mod.f90:61 satpos); None when the archive predates the field
+    satpos: jnp.ndarray | None = None
 
     @property
     def nscan(self):
@@ -469,16 +472,17 @@ def bin_tod_mono(calib_tod, pix, psi, mask, inv_var, npix: int, pol: bool):
 
 def sample_mono(key, A, b, nmaps: int, nstep: int = 1000,
                 sigma_prop: float = 0.03, mono0=None):
-    """Per-detector monopole MH (sample_mono,
-    comm_tod_mapmaking_mod.f90:300-438): proposals are zero-mean shifts of
-    the det monopole vector; the chi^2 compares the Q/U response of the
-    proposed monopoles (through the pixel systems' Stokes x det blocks)
-    against the binned rhs residual. A/b from bin_tod_mono.
+    """Per-detector monopole draw (sample_mono,
+    comm_tod_mapmaking_mod.f90:300-438), zero-sum constrained like the
+    reference's zero-mean proposals. A/b from bin_tod_mono.
 
-    Works on the per-pixel quadratic form directly: chi^2(m) =
-    m^T (C^T S^-1 C) m - 2 m^T C^T S^-1 r marginalized over the Stokes
-    block per pixel, which is the reference's res/rms evaluation in closed
-    form. Returns (mono (Nd,), accept_rate)."""
+    The reference runs an MH random walk over its TOD chi^2; here the
+    Stokes block is marginalized per pixel in closed form, leaving an
+    EXACTLY quadratic chi^2(m) = m^T Q m - 2 l^T m — so the conditional is
+    Gaussian N(Q^-1 l, Q^-1) restricted to the zero-sum subspace and is
+    drawn directly (no random walk; same target distribution). nstep and
+    sigma_prop are kept for signature compatibility (unused).
+    Returns (mono (Nd,), accept_rate=1)."""
     k = nmaps
     nd = A.shape[-1] - k
     hit = A[:, 0, 0] > 0
@@ -494,27 +498,30 @@ def sample_mono(key, A, b, nmaps: int, nstep: int = 1000,
                           - jnp.einsum("pki,pkj->pij", Asd, X), 0.0), 0)
     l = jnp.sum(jnp.where(hit[:, None], bd
                           - jnp.einsum("pki,pk->pi", X, bs), 0.0), 0)
-
-    def chisq(m):
-        return m @ Q @ m - 2.0 * (l @ m)
-
-    m0 = jnp.zeros((nd,), A.dtype) if mono0 is None else mono0
-    c0 = chisq(m0)
-
-    def step(carry, kk):
-        m, c, nacc = carry
-        k1, k2 = jax.random.split(kk)
-        eta = jax.random.normal(k1, (nd,), A.dtype) * sigma_prop
-        prop = m + eta - jnp.mean(m + eta)               # zero-mean forced
-        cp = chisq(prop)
-        acc = jnp.log(jax.random.uniform(k2, (), A.dtype)) < 0.5 * (c - cp)
-        m = jnp.where(acc, prop, m)
-        c = jnp.where(acc, cp, c)
-        return (m, c, nacc + acc.astype(A.dtype)), None
-
-    keys = jax.random.split(key, nstep)
-    (m, c, nacc), _ = jax.lax.scan(step, (m0, c0, 0.0), keys)
-    return m, nacc / nstep
+    # orthonormal basis of the zero-sum subspace: rows of V (nd-1, nd)
+    # from Householder of the all-ones vector
+    e = jnp.ones((nd,), A.dtype) / jnp.sqrt(jnp.asarray(nd, A.dtype))
+    u = e - jnp.eye(nd, dtype=A.dtype)[0]
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+    H = jnp.eye(nd, dtype=A.dtype) - 2.0 * jnp.outer(u, u)  # H[:,0] = e
+    V = H[:, 1:].T                                       # (nd-1, nd)
+    # guard the degenerate system (all scans rejected -> Q ~ 0): keep the
+    # previous monopoles rather than emitting NaNs
+    tr = jnp.trace(Q)
+    ok = tr > 0
+    tr_safe = jnp.where(ok, tr, 1.0)
+    Qv = V @ Q @ V.T + 1e-7 * tr_safe * jnp.eye(nd - 1, dtype=A.dtype)
+    Qv = jnp.where(ok, Qv, jnp.eye(nd - 1, dtype=A.dtype))
+    lv = jnp.where(ok, V @ l, 0.0)
+    L = jnp.linalg.cholesky(Qv)
+    mean_v = jax.scipy.linalg.cho_solve((L, True), lv)
+    eta = jax.random.normal(key, (nd - 1,), A.dtype)
+    # fluctuation: Qv^-1/2 eta via triangular solve with L^T
+    fluc_v = jax.scipy.linalg.solve_triangular(L.T, eta, lower=False)
+    m = V.T @ (mean_v + fluc_v)
+    m0_prev = jnp.zeros((nd,), A.dtype) if mono0 is None else mono0
+    m = jnp.where(ok, m, m0_prev)
+    return m, ok.astype(A.dtype)
 
 
 # ---------------------------------------------------------------------------

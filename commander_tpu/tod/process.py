@@ -57,17 +57,21 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
                 sky_maps: jnp.ndarray, pix_vec: jnp.ndarray, key,
                 sl_fmaps: jnp.ndarray | None = None,
                 s_extra: jnp.ndarray | None = None,
-                mono: jnp.ndarray | None = None):
+                mono: jnp.ndarray | None = None,
+                sl_pix: jnp.ndarray | None = None):
     """One TOD Gibbs pass. Returns (new TodState, products dict).
 
     sky_maps: (nmaps, npix) current sky model at this band (uK).
-    sl_fmaps: optional per-det conviqt tables (Nd, M+1, 2, npix) — the
+    sl_fmaps: optional per-det conviqt tables (Nd, M+1, 2, npix_sl) — the
         sidelobe term of the per-scan signal sum
         (comm_tod_LFI_mod.f90:633-646; construct_sl_template).
     s_extra: optional fixed additive per-sample signal (Ns, Nd, Nt) — the
         zodi template slot (compute_zodi_template, :626-631).
     mono: optional per-det monopole amplitudes (Nd,) added as the
         monopole correction template (:650-658).
+    sl_pix: optional (Ns, Nd, Nt) pixel indices at the sidelobe-table
+        resolution (the reference's ind2sl degrade, comm_tod_mod.f90:312);
+        defaults to block.pix.
     products: binned map/rms/fluct maps + chisq diagnostics.
     """
     npix = 12 * cfg.nside * cfg.nside
@@ -80,8 +84,9 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
         # per-det sidelobe: gather + azimuthal Fourier sum at this
         # pointing (conviqt interp); vmap over the det axis
         from .conviqt import conviqt_interp
+        p_sl = block.pix if sl_pix is None else sl_pix
         s_sl = jax.vmap(conviqt_interp, in_axes=(0, 1, 1), out_axes=1)(
-            sl_fmaps, block.pix, block.psi)
+            sl_fmaps, p_sl, block.psi)
         s_stat = s_stat + s_sl
     if s_extra is not None:
         s_stat = s_stat + s_extra
@@ -194,6 +199,7 @@ def tod_chisq(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
               sl_fmaps: jnp.ndarray | None = None,
               s_extra: jnp.ndarray | None = None,
               mono: jnp.ndarray | None = None,
+              sl_pix: jnp.ndarray | None = None,
               per_det: bool = False):
     """TOD chi^2 of a candidate sky model under the current TOD state.
 
@@ -208,8 +214,9 @@ def tod_chisq(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
     s_tot = s_sky + M.orbital_dipole(block.vsun, pix_vec, cfg.nu, block.pix)
     if sl_fmaps is not None:
         from .conviqt import conviqt_interp
+        p_sl = block.pix if sl_pix is None else sl_pix
         s_tot = s_tot + jax.vmap(conviqt_interp, in_axes=(0, 1, 1),
-                                 out_axes=1)(sl_fmaps, block.pix, block.psi)
+                                 out_axes=1)(sl_fmaps, p_sl, block.psi)
     if s_extra is not None:
         s_tot = s_tot + s_extra
     if mono is not None:

@@ -136,4 +136,84 @@ def zodi_template(cfg: KelsallCloud, nu: float, earth_pos, los_vec,
         earth_lon = jnp.arctan2(earth_pos[..., 1], earth_pos[..., 0])
         dens = dens + ring.density(x, y, z, earth_lon[..., None])
     emis = dens * _planck_MJysr(nu, T)
-    return jnp.sum(emis, axis=-1) * ds * AU   # integrate n(s) B ds [m]
+    # integrate n(s) B(T(s)) ds with s in AU: Kelsall densities are
+    # normalized for AU path lengths (n0 = 1.13e-7 AU^-1 gives ~17 MJy/sr
+    # toward the ecliptic pole at 25 um, the DIRBE ZLE scale)
+    return jnp.sum(emis, axis=-1) * ds
+
+
+# ---------------------------------------------------------------------------
+# TOD-level template (the driver's entry point; compute_zodi_template,
+# comm_zodi_mod.f90:372-513)
+# ---------------------------------------------------------------------------
+
+# Galactic -> ecliptic rotation (J2000; the reference precomputes the same
+# matrix via getEcl2GalMatrix at init, comm_zodi_mod.f90:324-367)
+GAL2ECL = np.array([
+    [-0.054882486, 0.494116468, -0.867661702],
+    [-0.993821033, -0.110993846, -0.000346354],
+    [-0.096476249, 0.862281440, 0.499513697]]).T  # ecl<-equ @ equ<-gal
+
+
+def _gal2ecl_matrix():
+    """Build gal->ecl as (equ->ecl) @ (gal->equ) from first principles so
+    the constant above is auditable: obliquity 23.4392911 deg; galactic
+    pole/center per the IAU 1958 definition."""
+    eps = np.radians(23.4392911)
+    equ2ecl = np.array([[1, 0, 0],
+                        [0, np.cos(eps), np.sin(eps)],
+                        [0, -np.sin(eps), np.cos(eps)]])
+    # galactic -> equatorial (J2000) rotation (columns = gal axes in equ)
+    gal2equ = np.array([
+        [-0.0548755604, +0.4941094279, -0.8676661490],
+        [-0.8734370902, -0.4448296300, -0.1980763734],
+        [-0.4838350155, +0.7469822445, +0.4559837762]])
+    return equ2ecl @ gal2equ
+
+
+GAL2ECL = _gal2ecl_matrix()
+
+
+def zodi_tod_template(nside: int, pix, satpos, nu, r_sat: float = 1.0,
+                      cloud: KelsallCloud = KelsallCloud(),
+                      bands: tuple = (BAND1, BAND2, BAND3),
+                      ring: "KelsallRing | None" = None,
+                      n_nodes: int = 25, r_max: float = 5.2):
+    """Zodi signal for a TOD chunk, reference call signature.
+
+    pix: (..., Nt) RING pixels (galactic); satpos: (Ns, 2) observatory
+    ecliptic (lon, lat) [deg] broadcast over the leading axis of pix;
+    nu: band frequency [Hz]. Returns (..., Nt) intensity [MJy/sr].
+
+    Matches compute_zodi_template (comm_zodi_mod.f90:372-513): observer at
+    r_sat AU from (lon, lat); LOS unit vectors are the galactic HEALPix
+    pixel vectors rotated to ecliptic.
+    """
+    from ..sphere import healpix
+
+    vec_gal = healpix.pix2vec_ring(nside)               # (npix, 3)
+    ecl_vecs = jnp.asarray(vec_gal @ GAL2ECL.T)         # (npix, 3)
+    lon = jnp.radians(satpos[:, 0])
+    lat = jnp.radians(satpos[:, 1])
+    earth = r_sat * jnp.stack([jnp.cos(lat) * jnp.cos(lon),
+                               jnp.cos(lat) * jnp.sin(lon),
+                               jnp.sin(lat)], axis=-1)   # (Ns, 3)
+    extra = pix.ndim - 1
+    earth_b = earth.reshape(earth.shape[:1] + (1,) * extra + (3,))
+    los = ecl_vecs[pix]                                  # (..., Nt, 3)
+    return zodi_template(cloud, nu, earth_b, los, r_max=r_max,
+                         n_nodes=n_nodes, bands=bands, ring=ring)
+
+
+def mjysr_to_uk_rj(nu: float) -> float:
+    """MJy/sr -> uK_RJ at frequency nu [Hz] (dB/dT_RJ = 2 k nu^2/c^2)."""
+    dbdt = 2.0 * K_BOLTZ * nu * nu / (C_LIGHT * C_LIGHT)   # W/m^2/Hz/sr/K
+    return 1e-20 / dbdt * 1e6                              # MJy/sr -> uK_RJ
+
+
+def mjysr_to_uk_cmb(nu: float) -> float:
+    """MJy/sr -> uK_CMB at frequency nu [Hz] (dB/dT at T_CMB)."""
+    from ..utils.constants import T_CMB
+    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    g = np.expm1(x) ** 2 / (x * x * np.exp(x))
+    return mjysr_to_uk_rj(nu) * g
