@@ -1,0 +1,137 @@
+"""One fully-jitted Gibbs iteration: amplitudes + C_ell + spectral indices
++ in-jit mixing rebuild.
+
+The general driver (run.py) orchestrates the nonlinear step host-side per
+(component, parameter) — flexible, but each step leaves jit. This module is
+the TPU production path for the common case (scalar spectral indices,
+fullsky inversion sampling, shared resolution): the ENTIRE Gibbs iteration
+— the reference's commander.f90:182-254 loop body minus TOD —
+
+    1. F(theta) mixing rebuild       (updateMixmat, in-jit quadrature)
+    2. a ~ P(a | d, Cl, theta)       (sample_amps_by_CG)
+    3. Cl ~ P(Cl | a)                (sample_powspec, binned inverse-gamma)
+    4. theta_cj ~ P(theta | a, d)    (sampleDiffuseSpecIndFullsky_nonlin,
+                                      one batched grid per (comp, param))
+
+is one jit-compiled function of (system, state, thetas, key), so a whole
+chain runs device-side with no host round trips. Reference call stack:
+SURVEY.md §3.2; the per-(comp,param) residual/grid evaluations are batched
+SHTs + einsums instead of the reference's serial Fortran loops.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.mixing import DiffuseComponent, mixing_matrix
+from ..sphere import sht
+from . import amplitude as amp
+from . import gibbs as gibbs_mod
+from . import specind as si
+from .chisq import compute_residual
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexSlot:
+    """Static config of one sampled spectral parameter (comp ci, slot j)."""
+    ci: int
+    which: int
+    cfg: si.SpecIndConfig
+
+
+def make_index_slots(comps: Sequence[DiffuseComponent], pcfgs=None,
+                     ngrid: int = 64):
+    """One IndexSlot per sampled parameter of every component with free
+    parameters, with grid ranges from the param configs (COMP_*_LOW/HIGH)
+    or +-50% around the defaults."""
+    slots = []
+    for ci, c in enumerate(comps):
+        for j, t0 in enumerate(c.theta0):
+            if c.sed in ("cmb", "md", "template", "line"):
+                continue
+            lo = hi = pm = pr = None
+            lnl = "chisq"
+            if pcfgs is not None:
+                info = list(pcfgs[ci].indices.values())[j] \
+                    if j < len(pcfgs[ci].indices) else {}
+                u = 1e9 if list(pcfgs[ci].indices.keys())[j] == "nu_p" \
+                    else 1.0
+                lo = None if info.get("low") is None else info["low"] * u
+                hi = None if info.get("high") is None else info["high"] * u
+                pm = None if info.get("prior_mean") is None \
+                    else info["prior_mean"] * u
+                pr = info.get("prior_rms")
+                pr = pr * u if pr else None
+                lnl = str(info.get("lnl_type") or "chisq")
+            if lo is None or hi is None:
+                lo = t0 - 0.5 * abs(t0) - 0.1
+                hi = t0 + 0.5 * abs(t0) + 0.1
+            slots.append(IndexSlot(ci=ci, which=j, cfg=si.SpecIndConfig(
+                grid_min=float(lo), grid_max=float(hi), ngrid=ngrid,
+                prior_mean=pm, prior_std=pr, lnl_type=lnl)))
+    return tuple(slots)
+
+
+def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
+                    base_sys: amp.AmplitudeSystem, plan,
+                    state: gibbs_mod.GibbsState, thetas: jnp.ndarray,
+                    key):
+    """One jitted Gibbs iteration. thetas: flat (nslot,) parameter vector
+    (order = `slots`). Returns (new_state, new_thetas, sys_with_new_F).
+
+    Jit with static (gcfg, comps, bps, slots) via functools.partial or
+    static_argnums; base_sys/plan/state/thetas/key are traced pytrees.
+    """
+    nslot = len(slots)
+
+    def theta_tuple(th_vec):
+        out = []
+        k = 0
+        for ci, c in enumerate(comps):
+            row = []
+            for j, t0 in enumerate(c.theta0):
+                s_idx = next((i for i, s in enumerate(slots)
+                              if s.ci == ci and s.which == j), None)
+                row.append(th_vec[s_idx] if s_idx is not None else t0)
+            out.append(tuple(row))
+        return out
+
+    # 1. mixing rebuild from current thetas (updateMixmat)
+    F = mixing_matrix(comps, bps, thetas=theta_tuple(thetas))
+    if F.ndim == 2:
+        F = F[..., None].repeat(base_sys.data.shape[1], axis=-1)
+    sys = dataclasses.replace(base_sys, F=F.astype(base_sys.data.dtype))
+
+    # 2+3. amplitude CG + binned Cl (gibbs_step)
+    state = dataclasses.replace(state, key=key)
+    state = gibbs_mod.gibbs_step(gcfg, sys, plan, state)
+
+    # 4. spectral indices: fullsky grid inversion per slot, sequential in
+    # slot order (each draw conditions on the previous ones, like the
+    # reference's per-parameter loop, comm_nonlin_mod.f90:92-193)
+    th = thetas
+    k_ind = jax.random.fold_in(state.key, 17)
+    for i, slot in enumerate(slots):
+        k_ind, k = jax.random.split(k_ind)
+        tt = theta_tuple(th)
+        F = mixing_matrix(comps, bps, thetas=tt)
+        if F.ndim == 2:
+            F = F[..., None].repeat(base_sys.data.shape[1], axis=-1)
+        sys_i = dataclasses.replace(sys, F=F.astype(base_sys.data.dtype))
+        res = compute_residual(sys_i, plan, state.a, exclude=slot.ci)
+        amp_pix = sht.alm2map(plan, state.a[slot.ci])
+        t_new = si.sample_specind_fullsky(
+            k, comps[slot.ci], bps, slot.cfg, res, amp_pix,
+            sys_i.inv_rms2, tt[slot.ci], which=slot.which)
+        th = th.at[i].set(jnp.reshape(t_new, ()))
+
+    # final mixing with the fresh thetas (next iteration's operator)
+    F = mixing_matrix(comps, bps, thetas=theta_tuple(th))
+    if F.ndim == 2:
+        F = F[..., None].repeat(base_sys.data.shape[1], axis=-1)
+    sys = dataclasses.replace(sys, F=F.astype(base_sys.data.dtype))
+    return state, th, sys
