@@ -527,7 +527,8 @@ def _setup_tod_aux(cfg, band, block, meta, nside, data_dir, dtype, kind,
     from .tod import conviqt as cvq
 
     aux = dict(sl_blm=None, sl_plan=None, sl_tables=None, sl_pix=None,
-               zodi=None, mono=None, dets=meta.get("dets"))
+               zodi=None, mono=None, dets=meta.get("dets"),
+               det_bps=None, bp_delta_det=None)
     if band.tod_rimo and kind == "lfi":
         rpath = band.tod_rimo
         if not os.path.isabs(rpath):
@@ -535,6 +536,21 @@ def _setup_tod_aux(cfg, band, block, meta, nside, data_dir, dtype, kind,
         if os.path.exists(rpath):
             from .instrument.files import load_rimo_tod
             rimo = load_rimo_tod(rpath, meta["dets"])
+            # per-detector bandpasses (comm_data_mod.f90 bp(1:ndet); the
+            # ndelta proposal flow needs per-det responses)
+            try:
+                from .instrument.files import load_bandpass_hdf
+                det_bps = tuple(
+                    load_bandpass_hdf(rpath, d, unit=band.unit,
+                                      profile_type=(band.bandpass_type
+                                                    if band.bandpass_type
+                                                    not in (None, "delta")
+                                                    else "LFI"))
+                    for d in meta["dets"])
+                aux["det_bps"] = det_bps
+                aux["bp_delta_det"] = np.zeros(len(det_bps))
+            except KeyError:
+                pass        # RIMO without bandpass datasets: band-level bp
             sls = [rimo[d]["sl"] for d in meta["dets"]]
             if all(s is not None for s in sls):
                 lmax_sl = max(s.shape[0] - 1 for s in sls)
@@ -1305,6 +1321,31 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 static_argnums=0),
         }
         band_alm_fn = jax.jit(amp._project_bands)
+        comp_maps_fn = jax.jit(lambda plan, bl_b, a: amp._synth(
+            plan, a * bl_b[None, :, :, None]))
+
+        def _det_sky(b, aux, sky_bands):
+            """Per-det sky maps (Nd, S, npix) for bands with per-det
+            bandpasses: band sky + per-det mixing correction applied to
+            the unit component maps (map_sky per det,
+            comm_tod_LFI_mod.f90:401-418). Scalar-theta models only."""
+            if aux.get("det_bps") is None or sys.F_pix is not None:
+                return sky_bands[b]
+            from .tod.bandpass_mh import det_mixing
+            th_sc = [tuple(t for t in thetas[ci])
+                     for ci in range(len(diffuse))]
+            if any(np.ndim(t) > 0 for th in th_sc for t in th):
+                return sky_bands[b]
+            dd = jnp.asarray(aux["bp_delta_det"]) + bp_deltas[b]
+            F_det = det_mixing(diffuse, aux["det_bps"], th_sc, dd,
+                               cfg.bands[b].bandpass_model)
+            cm = comp_maps_fn(plan, sys.bl[b], state.a)    # (C, S, npix)
+            Fb = sys.F[b]                                  # (C, S)
+            corr = jnp.einsum("dcs,csp->dsp",
+                              F_det[:, :, None] - Fb[None, :, :], cm,
+                              precision=jax.lax.Precision.HIGHEST)
+            return sky_bands[b][None] + corr
+
         any_sl = any(aux.get("sl_blm") is not None
                      for (_, _, _, _, aux) in tod_blocks.values())
 
@@ -1334,6 +1375,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                     n_corr=tstate_b.n_corr)
                 if "mono" in st and aux_b.get("mono") is not None:
                     aux_b["mono"] = jnp.asarray(st["mono"])
+                if "bp_delta_det" in st \
+                        and aux_b.get("bp_delta_det") is not None:
+                    aux_b["bp_delta_det"] = np.asarray(st["bp_delta_det"])
                 tod_blocks[b] = (tcfg_b, block_b, tstate_b, kind_b, aux_b)
                 tod_restored = True
         tkey0 = jax.random.fold_in(key, 772)
@@ -1377,8 +1421,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                                                 chisq_reject_sigma=1e30)
                             if it == first + 1 else tcfg)
                 if kind == "lfi":
+                    sky_in = _det_sky(b, aux, sky_bands)
                     tstate, prod = tod_step[kind](
-                        tcfg_use, block, tstate, sky_bands[b], k,
+                        tcfg_use, block, tstate, sky_in, k,
                         sl_all.get(b), aux["zodi"], aux["mono"],
                         aux["sl_pix"])
                     if tcfg.sample_mono:
@@ -1387,6 +1432,32 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                     tstate, prod = tod_step[kind](tcfg_use, block, tstate,
                                                   sky_bands[b], k)
                 tod_blocks[b] = (tcfg, block, tstate, kind, aux)
+                # --- per-detector ndelta bandpass MH (relative shifts;
+                # commander.f90:299-335 + sample_bp) --------------------
+                if cfg.bands[b].sample_bandpass \
+                        and aux.get("det_bps") is not None \
+                        and kind == "lfi":
+                    from .tod.bandpass_mh import (sample_bp_det,
+                                                  unit_comp_tod)
+                    from .tod.process import static_signal
+                    th_sc = [tuple(thetas[ci])
+                             for ci in range(len(diffuse))]
+                    if not any(np.ndim(t) > 0 for th in th_sc
+                               for t in th):
+                        comp_tod = unit_comp_tod(plan, sys.bl[b], state.a,
+                                                 block, tcfg.pol)
+                        s_stat = static_signal(tcfg, block, pvec,
+                                               sl_all.get(b), aux["zodi"],
+                                               aux["mono"], aux["sl_pix"])
+                        tkey, kd = jax.random.split(tkey)
+                        dd, _c2d, _nacc = sample_bp_det(
+                            kd, diffuse, th_sc, aux["det_bps"], comp_tod,
+                            s_stat, block, tstate,
+                            jnp.asarray(aux["bp_delta_det"]),
+                            n_prop=max(1, cfg.tod_num_bp_prop),
+                            band_delta=bp_deltas[b],
+                            shift_model=cfg.bands[b].bandpass_model)
+                        aux["bp_delta_det"] = np.asarray(dd)
                 # --- bandpass-shift MH on the TOD chi^2 (sample_bp,
                 # comm_tod_bandpass_mod.f90:28; proposal/accept flow of
                 # commander.f90:299-335) ---
@@ -1562,7 +1633,10 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                     fknee=np.asarray(tstate_b.fknee),
                     mono=(None if aux_b.get("mono") is None
                           else np.asarray(aux_b["mono"])),
-                    bp_delta=np.asarray([bp_deltas[b]])))
+                    bp_delta=np.asarray([bp_deltas[b]]),
+                    bp_delta_det=(None
+                                  if aux_b.get("bp_delta_det") is None
+                                  else np.asarray(aux_b["bp_delta_det"]))))
             timer.stop("output")
     ch.close()
     status.update("done")

@@ -79,8 +79,15 @@ class TodState:
 def project_sky(maps, pix, psi, pol: bool):
     """s[t] = T[pix] (+ Q[pix] cos 2psi + U[pix] sin 2psi).
 
-    maps: (3, npix) or (1, npix); pix/psi: (..., Nt).
+    maps: (S, npix) shared across detectors, or (Nd, S, npix) PER-DETECTOR
+    sky maps (the reference's map_sky(:,:,det,:) distribution,
+    comm_tod_LFI_mod.f90:401-418 — per-det bandpasses make the sky
+    det-dependent); pix/psi: (Ns, Nd, Nt) or any (..., Nt).
     Reference: project_sky (comm_tod_pointing_mod.f90:31)."""
+    if maps.ndim == 3 and pix.ndim == 3:
+        # vmap over the detector axis (axis 1 of pix/psi, axis 0 of maps)
+        return jax.vmap(lambda m, p, ps: project_sky(m, p, ps, pol),
+                        in_axes=(0, 1, 1), out_axes=1)(maps, pix, psi)
     T = maps[0][pix]
     if not pol or maps.shape[0] == 1:
         return T

@@ -53,6 +53,24 @@ class TodConfig:
     mono_sigma_prop: float = 0.03
 
 
+def static_signal(cfg: TodConfig, block: M.TodBlock, pix_vec,
+                  sl_fmaps=None, s_extra=None, mono=None, sl_pix=None):
+    """Orbital dipole + sidelobe + zodi + per-det monopole — the signal
+    terms that do NOT come from the sky model map (the per-scan template
+    sum of comm_tod_LFI_mod.f90:618-663). (Ns, Nd, Nt)."""
+    s_stat = M.orbital_dipole(block.vsun, pix_vec, cfg.nu, block.pix)
+    if sl_fmaps is not None:
+        from .conviqt import conviqt_interp
+        p_sl = block.pix if sl_pix is None else sl_pix
+        s_stat = s_stat + jax.vmap(conviqt_interp, in_axes=(0, 1, 1),
+                                   out_axes=1)(sl_fmaps, p_sl, block.psi)
+    if s_extra is not None:
+        s_stat = s_stat + s_extra
+    if mono is not None:
+        s_stat = s_stat + mono[None, :, None]
+    return s_stat
+
+
 def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
                 sky_maps: jnp.ndarray, pix_vec: jnp.ndarray, key,
                 sl_fmaps: jnp.ndarray | None = None,

@@ -118,7 +118,10 @@ def _write_fixture(tmpdir, with_physics=True):
             f"{s + 1} tod_00.h5 1.0 1.5 {s * 0.8:.2f}"
             for s in range(NSCAN)) + "\n")
     rimo = os.path.join(tmpdir, "rimo.h5")
-    write_rimo_tod(rimo, {d: dict(sl=blms[i], fwhm=30.0, centFreq=30.0)
+    nu_bp = np.linspace(28e9, 32e9, 21)
+    write_rimo_tod(rimo, {d: dict(sl=blms[i], fwhm=30.0, centFreq=30.0,
+                                  bandpassx=nu_bp / 1e9,
+                                  bandpass=np.ones(21))
                           for i, d in enumerate(DETS)})
     return sky, flist, rimo, dict(s_sl=s_sl, s_zodi=s_zodi, pix=pix)
 
@@ -134,7 +137,7 @@ def _driver_cfg(flist, rimo):
     b.tod_type = "LFI"
     b.tod_filelist = os.path.basename(flist)
     b.tod_rimo = os.path.basename(rimo)
-    b.sample_bandpass = False
+    b.sample_bandpass = True     # exercises the per-det ndelta MH too
     cfg.include_tod_zodi = True
     cfg.sample_tod_mono = True
     return cfg
@@ -182,9 +185,11 @@ def test_driver_recovers_sl_zodi_mono(tmp_path_factory):
     # (the absolute monopole is degenerate with the sky monopole)
     zt = MONO_TRUE - MONO_TRUE.mean()
     assert np.all(np.abs(mono - zt) < 0.3)
-    # chain checkpoints the TOD state
-    for f in ("gain", "sigma0", "alpha", "fknee", "bp_delta"):
+    # chain checkpoints the TOD state incl. per-det bandpass shifts
+    for f in ("gain", "sigma0", "alpha", "fknee", "bp_delta",
+              "bp_delta_det"):
         assert f in tods_a[band0]
+    assert tods_a[band0]["bp_delta_det"].shape == (NDET,)
     # physics-aware chisq must beat the blind run's (the blind run absorbs
     # sidelobe+zodi+mono into noise/sky)
     assert float(s_a["aux"]["chisq"]) < float(s_b["aux"]["chisq"])
