@@ -464,7 +464,7 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
 
 
 def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False,
-                       dtype="float64"):
+                       dtype="float64", nmaps=1):
     """Read real TOD archives for every band with a BAND_TOD_FILELIST —
     the reference's initialize-TOD path (get_scan_ids + read_tod,
     comm_tod_mod.f90:643-799; huffman pointing decode per scan). Scalars
@@ -508,6 +508,7 @@ def _setup_archive_tod(cfg, nside, data_dir=None, synthetic=False,
                 f"nside {nside} (per-band TOD resolutions go through "
                 f"run_multires)")
         tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ,
+                         pol=bool(band.polarized and nmaps == 3),
                          sample_mono=bool(getattr(cfg, "sample_tod_mono",
                                                   False)))
         kind = "diff" if str(band.tod_type).upper() == "WMAP" else "lfi"
@@ -606,21 +607,23 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=()):
     for b, band in enumerate(cfg.bands):
         if band.tod_type in (None, "none") or b in skip:
             continue  # archive-backed bands load via _setup_archive_tod
-        tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ)
+        S = sky0.shape[1]
+        tcfg = TodConfig(nside=nside, nu=band.nominal_freq_ghz * GHZ,
+                         pol=bool(band.polarized and S == 3))
         kind = str(band.tod_type).upper()
         if kind == "WMAP":
             # differential-horn pipeline (process_WMAP_tod)
             block, truth = simulate_tod_diff(
                 nside, sky0[b], nscan=4, ndet=2, ntod=2048,
                 sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
-                gain0=1.0, seed=seed + b)
+                gain0=1.0, seed=seed + b, pol=tcfg.pol)
             blocks[b] = (tcfg, block, init_tod_state(block), "diff",
                          _empty_tod_aux())
         else:
             block, truth = simulate_tod(
                 nside, sky0[b], nscan=8, ndet=2, ntod=4096,
                 sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
-                gain0=1.0, seed=seed + b)
+                gain0=1.0, seed=seed + b, pol=tcfg.pol)
             aux = _empty_tod_aux()
             if getattr(cfg, "sample_tod_mono", False):
                 tcfg = dataclasses.replace(tcfg, sample_mono=True)
@@ -662,10 +665,13 @@ def _init_band_maps_from_tod(cfg, sys, tod_blocks, nside, key):
         tstate, prod = step0(tcfg0, block, tstate, zero_sky, pvec, k,
                              None, aux["zodi"], None, None)
         tod_blocks[b] = (tcfg, block, tstate, kind, aux)
-        hit = np.asarray(prod["rms"][0]) > 0
-        new_data[b, 0, hit] = np.asarray(prod["map"][0])[hit]
-        new_rms[b, 0, hit] = np.asarray(prod["rms"][0])[hit]
-        new_rms[b, 0, ~hit] = 0.0
+        pm = np.asarray(prod["map"])
+        pr = np.asarray(prod["rms"])
+        for s_i in range(pm.shape[0]):
+            hit = pr[s_i] > 0
+            new_data[b, s_i, hit] = pm[s_i][hit]
+            new_rms[b, s_i, hit] = pr[s_i][hit]
+            new_rms[b, s_i, ~hit] = 0.0
     good = new_rms > 0
     safe = np.where(good, new_rms, 1.0)
     return dataclasses.replace(
@@ -1288,7 +1294,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         # a filelist get the synthetic simulator (test fixtures)
         tod_blocks = _setup_archive_tod(cfg, meta["nside"],
                                         data_dir=data_dir,
-                                        synthetic=synthetic, dtype=dtype)
+                                        synthetic=synthetic, dtype=dtype,
+                                        nmaps=meta["nmaps"])
         # archive-backed bands: replace the band map with a sky-free TOD
         # binning BEFORE the sky model is first fit, so the model/gain
         # bootstrap from data that actually corresponds to the archives
@@ -1483,10 +1490,15 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                     if bool(acc):
                         bp_deltas[b] = float(d_new)
                         sys = sys_prop
-                hit = np.asarray(prod["rms"][0]) > 0
-                new_data[b, 0, hit] = np.asarray(prod["map"][0])[hit]
-                new_rms[b, 0, hit] = np.asarray(prod["rms"][0])[hit]
-                new_rms[b, 0, ~hit] = 0.0
+                pm = np.asarray(prod["map"])
+                pr = np.asarray(prod["rms"])
+                # IQU rows when the band ran polarized mapmaking
+                # (comm_tod_mapmaking_mod.f90 bin_TOD is 3x3 per pixel)
+                for s_i in range(pm.shape[0]):
+                    hit = pr[s_i] > 0
+                    new_data[b, s_i, hit] = pm[s_i][hit]
+                    new_rms[b, s_i, hit] = pr[s_i][hit]
+                    new_rms[b, s_i, ~hit] = 0.0
             good = new_rms > 0
             safe = np.where(good, new_rms, 1.0)
             sys = dataclasses.replace(
