@@ -205,6 +205,7 @@ class RunConfig:
     #                                       per-det monopoles; sample_mono,
     #                                       comm_tod_mapmaking_mod.f90:300)
     tod_num_bp_prop: int = 1              # NUM_BP_PROPOSALS_PER_ITER
+    tod_4d_nth_iter: int = 0              # TOD_OUTPUT_4D_MAP_EVERY_NTH_ITER
 
 
 # per-type spectral index key names in the reference param files
@@ -374,6 +375,8 @@ def lower_params(p: Params) -> RunConfig:
         include_tod_zodi=bool(p.get("TOD_INCLUDE_ZODI", False)),
         sample_tod_mono=bool(p.get("SAMPLE_TOD_MONOPOLE", False)),
         tod_num_bp_prop=int(p.get("NUM_BP_PROPOSALS_PER_ITER", 1)),
+        tod_4d_nth_iter=int(p.get("TOD_OUTPUT_4D_MAP_EVERY_NTH_ITER", 0)
+                            or 0),
         output_input_model=bool(p.get("OUTPUT_INPUT_MODEL", False)),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
         init_chain=(lambda v: None if v is None or str(v).lower() == "none"

@@ -1505,6 +1505,31 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 sys, data=jnp.asarray(new_data),
                 inv_rms=jnp.asarray(np.where(good, 1.0 / safe, 0.0)),
                 inv_rms2=jnp.asarray(np.where(good, 1.0 / safe**2, 0.0)))
+            # --- 4D (pix, psi) maps per detector every nth iteration
+            # (comm_4D_map_mod.f90:97 HDF output) ---
+            nth4d = int(getattr(cfg, "tod_4d_nth_iter", 0) or 0)
+            if nth4d > 0 and it % nth4d == 0:
+                from .tod.maps4d import bin_4d, write_4d_hdf
+                npsi4d = 64
+                for b, (tcfg_b, blk, tst, kind_b, aux_b) \
+                        in tod_blocks.items():
+                    if kind_b != "lfi":
+                        continue
+                    calib = (blk.tod - tst.n_corr) \
+                        / jnp.maximum(tst.gain[..., None], 1e-30)
+                    ivar = jnp.square(tst.gain) \
+                        / jnp.maximum(tst.sigma0 ** 2, 1e-30)
+                    p4d = os.path.join(
+                        outdir, f"tod_4D_{cfg.bands[b].label}_"
+                        f"k{it:06d}.h5")
+                    dets = aux_b.get("dets") or [
+                        f"det{d}" for d in range(blk.ndet)]
+                    for d, dn in enumerate(dets):
+                        ss, ws, mn = bin_4d(
+                            calib[:, d], blk.pix[:, d], blk.psi[:, d],
+                            blk.mask[:, d], ivar[:, d],
+                            12 * tcfg_b.nside ** 2, npsi4d)
+                        write_4d_hdf(p4d, dn, ss, ws, mn)
             timer.stop("tod")
             status.update(f"iter {it} tod done")
 

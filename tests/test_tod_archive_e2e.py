@@ -146,6 +146,7 @@ def test_driver_runs_from_archives(tmp_path_factory, monkeypatch):
         raise AssertionError("simulate_tod called on the archive path")
     monkeypatch.setattr("commander_tpu.tod.sim.simulate_tod", _no_sim)
 
+    cfg.tod_4d_nth_iter = 2      # 4D (pix, psi) map output path
     state, chain_path = run_mod.run(cfg, nside=NSIDE, lmax=LMAX,
                                     synthetic=True, niter=3, outdir=out,
                                     verbose=False, tod=True,
@@ -154,3 +155,13 @@ def test_driver_runs_from_archives(tmp_path_factory, monkeypatch):
         assert ch.last_sample() == 3
         s = ch.read_sample(3)
         assert np.isfinite(float(s["aux"]["chisq"]))
+    # 4D maps written at iteration 2 for the TOD band's detectors
+    import glob
+    import h5py
+    files4d = glob.glob(os.path.join(out, "tod_4D_*_k000002.h5"))
+    assert files4d, os.listdir(out)
+    with h5py.File(files4d[0], "r") as f:
+        dets = list(f.keys())
+        assert dets and {"signal", "weight", "mean"} <= set(f[dets[0]])
+        w = np.asarray(f[dets[0]]["weight"])
+        assert w.sum() > 0
