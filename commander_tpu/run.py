@@ -411,7 +411,13 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                 for line in f:
                     line = line.split("#", 1)[0].strip()
                     if line:
-                        rows.append([float(t) for t in line.split()[:6]])
+                        toks = []
+                        for t in line.split()[:8]:
+                            try:
+                                toks.append(float(t))
+                            except ValueError:
+                                break
+                        rows.append(toks + [0.0] * (8 - len(toks)))
             cat = np.asarray(rows)
             glon, glat = np.deg2rad(cat[:, 0]), np.deg2rad(cat[:, 1])
             theta_c = np.pi / 2.0 - glat
@@ -436,6 +442,18 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                         cat[:, 3], 1e-30), 0.0), dtype))
             meta["nsrc"] = int(cat.shape[0])
             meta["ptsrc_alpha"] = alpha_src
+            # unit-profile stamps + SED metadata for per-source alpha
+            # sampling (samplePtsrcSpecInd, comm_ptsrc_comp_mod.f90:1492)
+            ps_unit = joint_mod.gaussian_stamp_ptsrc(
+                nside, src_pix, np.ones_like(F_src), fwhms, nmaps=S,
+                npatch=min(32, npix // 4), dtype=np.dtype(dtype).type)
+            meta["ptsrc_unit"] = dataclasses.replace(
+                ps_unit, prior_mean=ps.prior_mean,
+                prior_istd=ps.prior_istd)
+            meta["ptsrc_nuratio"] = np.asarray(
+                [b.nominal_freq_ghz / nu0 for b in cfg.bands])
+            meta["ptsrc_alpha_rms"] = (cat[:, 6] if cat.shape[1] > 6
+                                       else np.zeros(cat.shape[0]))
         elif synthetic:
             nsrc = 20
             src_pix = rng.choice(npix, size=nsrc, replace=False)
@@ -1177,8 +1195,10 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         prev = ch.read_sample(first) if first > 0 else None
     else:
         prev = None
-    ch.write_metadata({k: (v if not isinstance(v, list) else ",".join(map(str, v)))
-                       for k, v in meta.items()})
+    ch.write_metadata({k: (v if not isinstance(v, list)
+                           else ",".join(map(str, v)))
+                       for k, v in meta.items()
+                       if isinstance(v, (int, float, str, bool, list))})
 
     # independent chains: counter-based keys folded by chain index
     # (replaces the reference's per-rank seed scrambling,
@@ -1596,6 +1616,46 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                                               if pol else None,
                                               ind_regs=ind_regs,
                                               data_dir=data_dir)
+            # --- per-source spectral indices (samplePtsrcSpecInd,
+            # comm_ptsrc_comp_mod.f90:1492-1971): grid-inversion draw per
+            # source on the residual patches; optimize mode runs the
+            # Powell (amp, alpha) fit instead ---
+            if ps is not None and meta.get("ptsrc_unit") is not None \
+                    and np.any(np.asarray(meta["ptsrc_alpha_rms"]) > 0):
+                ps_unit = meta["ptsrc_unit"]
+                nur = meta["ptsrc_nuratio"]
+                alphas_cur = np.asarray(meta["ptsrc_alpha"], float)
+                res_full = np.asarray(
+                    sys.data - sky_fn_state(sys, plan, state))
+                free = np.asarray(meta["ptsrc_alpha_rms"]) > 0
+                if gcfg.optimize:
+                    amps_new, alphas_new = joint_mod.optimize_ptsrc(
+                        ps_unit, nur, jnp.asarray(res_full), state.p,
+                        jnp.asarray(alphas_cur), sys.inv_rms2)
+                    state = dataclasses.replace(
+                        state, p=jnp.asarray(
+                            np.where(free, amps_new,
+                                     np.asarray(state.p))))
+                else:
+                    skey, pk = jax.random.split(skey)
+                    grid_a = jnp.linspace(-4.0, 1.0, 64)
+                    pm = jnp.asarray(alphas_cur)
+                    pist = jnp.asarray(
+                        np.where(free, 1.0 / np.maximum(
+                            np.asarray(meta["ptsrc_alpha_rms"]),
+                            1e-30), 1e30))
+                    alphas_new = np.asarray(joint_mod.sample_ptsrc_alpha(
+                        pk, ps_unit, jnp.asarray(nur),
+                        jnp.asarray(res_full), state.p,
+                        jnp.asarray(alphas_cur), sys.inv_rms2, grid_a,
+                        prior_mean=pm, prior_istd=pist))
+                alphas_cur = np.where(free, alphas_new, alphas_cur)
+                meta["ptsrc_alpha"] = alphas_cur
+                ps = joint_mod.restamp_ptsrc(ps_unit, jnp.asarray(nur),
+                                             jnp.asarray(alphas_cur))
+                ps = dataclasses.replace(
+                    ps, prior_mean=ps_unit.prior_mean,
+                    prior_istd=ps_unit.prior_istd)
             timer.stop("specind")
 
         # --- map-level gain sampling (comm_gain_mod.f90:29) ---
@@ -1660,6 +1720,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 extra["md_amps"] = np.asarray(state.t)
             if state.p is not None:
                 extra["ptsrc_amps"] = np.asarray(state.p)
+                if meta.get("ptsrc_alpha") is not None:
+                    extra["ptsrc_alpha"] = np.asarray(meta["ptsrc_alpha"])
             ch.write_sample(it, comps_out, gains=gains, extra=extra)
             for b, (tcfg_b, _blk, tstate_b, kind_b, aux_b) \
                     in tod_blocks.items():

@@ -354,3 +354,89 @@ def sample_template_amp_masked(key, res_map, T_map, inv_rms2, mask,
     if sample and key is not None:
         return mu + jnp.sqrt(var) * jax.random.normal(key, (), res_map.dtype)
     return mu
+
+
+# ---------------------------------------------------------------------------
+# Per-source spectral indices (samplePtsrcSpecInd,
+# comm_ptsrc_comp_mod.f90:1492-1971)
+# ---------------------------------------------------------------------------
+
+def ptsrc_sed(nuratio, alphas):
+    """Radio SED factor per (band, source): (nu_b/nu0)^(-2+alpha_i)
+    (evalSED, comm_ptsrc_comp_mod.f90:322)."""
+    return jnp.power(jnp.asarray(nuratio)[:, None],
+                     (-2.0 + jnp.asarray(alphas))[None, :])
+
+
+def restamp_ptsrc(ps_unit: PtsrcSet, nuratio, alphas) -> PtsrcSet:
+    """Bake the current per-source SED into the unit-profile stamps."""
+    F = ptsrc_sed(nuratio, alphas)                     # (B, nsrc)
+    return dataclasses.replace(
+        ps_unit, stamp=ps_unit.stamp * F[:, None, :, None])
+
+
+def sample_ptsrc_alpha(key, ps_unit: PtsrcSet, nuratio, res, amps, alphas,
+                       inv_rms2, grid, prior_mean=None, prior_istd=None):
+    """Grid-inversion draw of each source's spectral index alpha.
+
+    ps_unit: UNIT-profile stamps (SED factor NOT baked in); res: (B,S,P)
+    residual of the full model (all sources subtracted at the current
+    alphas); amps: (nsrc,) current amplitudes. Batched over sources and
+    grid on the VPU — the reference loops sources serially on rank 0.
+    Returns (nsrc,) new alphas."""
+    B, S, nsrc, npatch = ps_unit.stamp.shape
+    G = grid.shape[0]
+    r_patch = res[:, :, ps_unit.pix]                   # (B,S,nsrc,npatch)
+    iv_patch = inv_rms2[:, :, ps_unit.pix]
+    F_cur = ptsrc_sed(nuratio, alphas)                 # (B,nsrc)
+    own = ps_unit.stamp * (F_cur[:, None, :, None]
+                           * amps[None, None, :, None])
+    r_full = r_patch + own                             # incl. own source
+    F_g = jnp.power(jnp.asarray(nuratio)[:, None, None],
+                    (-2.0 + grid)[None, None, :])      # (B,1,G)
+    model = (ps_unit.stamp[..., None] * amps[None, None, :, None, None]
+             * F_g[:, None, :, None, :])               # (B,S,nsrc,np,G)
+    dlt = r_full[..., None] - model
+    lnl = -0.5 * jnp.sum(iv_patch[..., None] * dlt * dlt,
+                         axis=(0, 1, 3))               # (nsrc, G)
+    if prior_mean is not None and prior_istd is not None:
+        lnl = lnl - 0.5 * jnp.square(
+            (grid[None, :] - prior_mean[:, None]) * prior_istd[:, None])
+    from .specind import _cdf_invert
+    return _cdf_invert(key, lnl, grid)
+
+
+def optimize_ptsrc(ps_unit: PtsrcSet, nuratio, res, amps, alphas,
+                   inv_rms2, alpha_bounds=(-4.0, 1.0)):
+    """operation=optimize: Powell fit of (amplitude, alpha) per source —
+    the reference's powell(x, lnL_ptsrc_multi) path
+    (comm_ptsrc_comp_mod.f90:1518-1570). Host-side loop over sources
+    (rank-0 in the reference); returns (amps, alphas) ML values."""
+    import numpy as np
+
+    from ..ops.powell import powell
+
+    B, S, nsrc, npatch = ps_unit.stamp.shape
+    r_patch = np.asarray(res[:, :, ps_unit.pix])
+    iv_patch = np.asarray(inv_rms2[:, :, ps_unit.pix])
+    unit = np.asarray(ps_unit.stamp)
+    nur = np.asarray(nuratio)
+    F_cur = np.asarray(ptsrc_sed(nuratio, alphas))
+    amps = np.asarray(amps).copy()
+    alphas = np.asarray(alphas).copy()
+    for i in range(nsrc):
+        r_i = r_patch[:, :, i] + unit[:, :, i] \
+            * (F_cur[:, i, None] * amps[i])[:, None]
+
+        def negl(x, i=i, r_i=r_i):
+            a, al = x
+            al = np.clip(al, *alpha_bounds)
+            F = nur ** (-2.0 + al)
+            m = unit[:, :, i] * (F[:, None, None] * a)
+            d = r_i - m
+            return float(np.sum(iv_patch[:, :, i] * d * d))
+
+        x, fx, _ = powell(negl, np.array([amps[i], alphas[i]]))
+        amps[i] = x[0]
+        alphas[i] = float(np.clip(x[1], *alpha_bounds))
+    return amps, alphas
