@@ -41,6 +41,55 @@ def _comp_to_diffuse(c):
         theta0=theta0, unit="uK_cmb" if c.ctype == "cmb" else "uK_RJ")
 
 
+def _band_bandpasses(cfg, data_dir=None):
+    """Per-band Bandpass objects from BAND_BANDPASS_TYPE / BANDPASSFILE
+    (comm_bp_mod.f90:99-116 profile dispatch); shared by the single- and
+    multi-resolution model builders."""
+    from .instrument.bandpass import delta_bandpass, tophat_bandpass
+
+    bps = []
+    for b in cfg.bands:
+        bpath = os.path.join(data_dir or ".", str(b.bandpassfile or ""))
+        if b.bandpass_type in ("delta", "none") or b.bandpassfile is None:
+            bps.append(delta_bandpass(b.nominal_freq_ghz * GHZ,
+                                      unit=b.unit))
+        elif os.path.exists(bpath) and str(bpath).endswith((".h5", ".hdf5")):
+            # tabulated profile with the experiment's response/trimming
+            # conventions (BAND_BANDPASS_TYPE; comm_bp_mod.f90:99-116)
+            from .instrument.files import load_bandpass_hdf
+            bp = load_bandpass_hdf(bpath, det=b.label,
+                                   unit=b.unit,
+                                   profile_type=str(b.bandpass_type))
+            bps.append(bp)
+        else:
+            bp = tophat_bandpass(b.nominal_freq_ghz * GHZ, 0.2,
+                                 unit=b.unit)
+            bps.append(dataclasses.replace(
+                bp, profile_type=str(b.bandpass_type)))
+    return bps
+
+
+def _comp_ell_mask(pcfgs, diffuse_names, nl, S, dtype):
+    """Per-component ell window (C, S, nl) from COMP_LMAX_AMP/LMIN_AMP —
+    the reference's lmax projection masks in the CG operator
+    (comm_cr_mod.f90:858-860): zeroing the prior spectrum outside the
+    window confines the component there exactly (a = S^1/2 x)."""
+    name_to = {c.label: c for c in pcfgs}
+    mask = np.ones((len(diffuse_names), S, nl), dtype)
+    ell = np.arange(nl)
+    for i, n in enumerate(diffuse_names):
+        c = name_to.get(n)
+        if c is None:
+            continue
+        lmax_c = getattr(c, "lmax_amp", -1)
+        lmin_c = getattr(c, "lmin_amp", 0)
+        if lmax_c is not None and 0 <= lmax_c < nl - 1:
+            mask[i, :, ell > lmax_c] = 0.0
+        if lmin_c and lmin_c > 0:
+            mask[i, :, ell < lmin_c] = 0.0
+    return mask
+
+
 def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                 data_dir=None, dtype="float64", pol=False):
     """Lower RunConfig into the runtime objects (plan, system, components).
@@ -85,23 +134,7 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     S = 3 if pol else 1
     plan = sht.get_plan(nside, lmax, dtype=dtype, spin2=pol)
 
-    bps = []
-    for b in cfg.bands:
-        bpath = os.path.join(data_dir or ".", str(b.bandpassfile or ""))
-        if b.bandpass_type in ("delta", "none") or b.bandpassfile is None:
-            bps.append(delta_bandpass(b.nominal_freq_ghz * GHZ, unit=b.unit))
-        elif os.path.exists(bpath) and str(bpath).endswith((".h5", ".hdf5")):
-            # tabulated profile with the experiment's response/trimming
-            # conventions (BAND_BANDPASS_TYPE; comm_bp_mod.f90:99-116)
-            from .instrument.files import load_bandpass_hdf
-            bp = load_bandpass_hdf(bpath, det=b.label,
-                                   unit=b.unit,
-                                   profile_type=str(b.bandpass_type))
-            bps.append(bp)
-        else:
-            bp = tophat_bandpass(b.nominal_freq_ghz * GHZ, 0.2, unit=b.unit)
-            bps.append(dataclasses.replace(
-                bp, profile_type=str(b.bandpass_type)))
+    bps = _band_bandpasses(cfg, data_dir)
     F = np.asarray(mixing_matrix(diffuse, bps), dtype=dtype)
 
     # Harmonic beams: BAND_BEAM_B_L_FILE when given (comm_B_bl_mod.f90:108
@@ -187,6 +220,12 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
             (cc.bin_starts for cc in cl_cfgs if cc.kind == "binned"),
             bin_starts))
     cl0 = np.stack(cl0_rows).astype(dtype)
+    ell_mask = _comp_ell_mask(cfg.comps, [d.name for d in diffuse], nl, S,
+                              dtype)
+    has_window = not np.all(ell_mask == 1.0)
+    if has_window:
+        cl0 = cl0 * ell_mask     # synthetic truth + fixed priors obey the
+        #                          COMP_LMAX_AMP/LMIN_AMP window too
 
     rng = np.random.default_rng(seed)
     rms = np.full((len(cfg.bands), S, npix), 10.0, dtype)
@@ -288,7 +327,9 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
                            jnp.asarray(cl0), jnp.asarray(data),
                            mask=jnp.asarray(mask),
                            cov_qu=None if cov_qu is None
-                           else jnp.asarray(cov_qu))
+                           else jnp.asarray(cov_qu),
+                           ell_mask=(jnp.asarray(ell_mask) if has_window
+                                     else None))
     meta = {"nside": nside, "lmax": lmax, "nmaps": S,
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in cfg.bands]}
@@ -1745,7 +1786,7 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
 
 
 def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
-                      dtype="float64", max_nside=None):
+                      dtype="float64", max_nside=None, pol=False):
     """Heterogeneous band resolutions: group bands by (nside, lmax) into
     per-group AmplitudeSystems at their NATIVE resolution, components at the
     common max band-limit. Mirrors the reference's per-band-resolution
@@ -1767,6 +1808,8 @@ def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
                if c.cclass == "diffuse" and c.ctype not in
                ("md", "cmb_relquad", "template")]
     bands = list(cfg.bands)
+    pol = pol and all(b.polarized for b in bands)
+    S = 3 if pol else 1
     res_of = {}
     for b in bands:
         ns = min(b.nside, max_nside) if max_nside else b.nside
@@ -1776,13 +1819,20 @@ def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
     lmax_c = max(lm for _, lm in group_keys)
     nl_c = lmax_c + 1
     C = len(diffuse)
-    bps = [delta_bandpass(b.nominal_freq_ghz * GHZ, unit=b.unit)
-           for b in bands]
-    F_all = np.asarray(mixing_matrix(diffuse, bps), dtype=dtype)
+    # real bandpass profiles when configured (BAND_BANDPASSFILE)
+    bps = _band_bandpasses(cfg, data_dir)
+    thetas0 = [tuple(d.theta0) for d in diffuse]
+    F_all = np.asarray(mixing_matrix(diffuse, bps, thetas=thetas0),
+                       dtype=dtype)
 
     ell = np.arange(nl_c, dtype=np.float64)
     cl0 = np.stack([100.0 / np.maximum(ell * (ell + 1.0), 1.0)
-                    for _ in range(C)])[:, None, :].astype(dtype)
+                    for _ in range(C)])[:, None, :].repeat(S, 1)
+    cl0 = cl0.astype(dtype)
+    # COMP_LMAX_AMP / LMIN_AMP windows at the component lmax
+    ell_mask = _comp_ell_mask(cfg.comps, [d.name for d in diffuse],
+                              nl_c, S, dtype)
+    cl0 = cl0 * ell_mask
 
     rng = np.random.default_rng(seed)
     a_true = None
@@ -1790,7 +1840,7 @@ def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
         key = jax.random.PRNGKey(seed)
         a_true = np.asarray(
             apply_sqrtS(jnp.asarray(cl0),
-                        random_alm_white(key, (C, 1, nl_c, nl_c)))
+                        random_alm_white(key, (C, S, nl_c, nl_c)))
             * jnp.asarray(triangle_mask(nl_c, nl_c)))
 
     groups, plans = [], []
@@ -1799,56 +1849,75 @@ def build_multi_model(cfg, synthetic=False, seed=0, data_dir=None,
         idxs = [i for i, b in enumerate(bands) if res_of[b.label] == (ns, lm)]
         for j, i in enumerate(idxs):
             band_slot[i] = (g, j)
-        plan_g = sht.get_plan(ns, lm, dtype=dtype)
+        plan_g = sht.get_plan(ns, lm, dtype=dtype, spin2=pol)
         npix_g = 12 * ns * ns
         nl_g = lm + 1
         pw = pixel_window(ns, lm)
         bl_g = np.stack([
             gaussian_bl(bands[i].beam_fwhm_arcmin or 60.0, lm) * pw
-            for i in idxs]).astype(dtype)[:, None, :]
-        rms_g = np.full((len(idxs), 1, npix_g), 10.0, dtype)
+            for i in idxs]).astype(dtype)[:, None, :].repeat(S, 1)
+        rms_g = np.full((len(idxs), S, npix_g), 10.0, dtype)
+        mask_g = np.ones((len(idxs), S, npix_g), dtype)
         F_g = F_all[idxs]
+        data_g = np.zeros((len(idxs), S, npix_g), dtype)
+        if not synthetic:
+            for j, i in enumerate(idxs):
+                b = bands[i]
+                for attr, dest in (("mapfile", "map"),
+                                   ("noisefile", "rms"),
+                                   ("maskfile", "mask")):
+                    fn = getattr(b, attr, None)
+                    if not fn or str(fn).lower() in ("none", "fullsky"):
+                        continue
+                    path = os.path.join(data_dir or ".", fn)
+                    if not os.path.exists(path):
+                        raise FileNotFoundError(
+                            f"band {b.label}: {attr} {fn!r} not found "
+                            f"(resolved {path!r})")
+                    m = fitsio.read_map(path)[:S]
+                    mns = int(np.sqrt(m.shape[1] / 12))
+                    if mns != ns:
+                        t = healpix.udgrade_indices(mns, ns)
+                        m = m[:, t].mean(-1) if t.ndim == 2 else m[:, t]
+                    m = m.astype(dtype)
+                    if dest == "map":
+                        data_g[j, : m.shape[0]] = m
+                    elif dest == "rms":
+                        rms_g[j, : m.shape[0]] = m
+                    else:
+                        mask_g[j, : m.shape[0]] = (m > 0.5)
         sys_g = amp.build_system(jnp.asarray(F_g), jnp.asarray(bl_g),
                                  jnp.asarray(rms_g),
                                  jnp.asarray(cl0[..., :nl_g]),
-                                 jnp.zeros((len(idxs), 1, npix_g), dtype))
+                                 jnp.asarray(data_g),
+                                 mask=jnp.asarray(mask_g))
         if synthetic:
             a_g = jnp.asarray(a_true[..., :nl_g, :nl_g])
             sky = np.asarray(amp._synth(
                 plan_g, amp._project_bands(sys_g, plan_g, a_g)))
             data_g = sky + rms_g * rng.standard_normal(sky.shape)
-        else:
-            data_g = np.zeros((len(idxs), 1, npix_g), dtype)
-            for j, i in enumerate(idxs):
-                b = bands[i]
-                path = os.path.join(data_dir or ".", b.mapfile or "")
-                if b.mapfile and os.path.exists(path):
-                    m = fitsio.read_map(path)[:1]
-                    mns = int(np.sqrt(m.shape[1] / 12))
-                    if mns != ns:
-                        t = healpix.udgrade_indices(mns, ns)
-                        m = m[:, t].mean(-1) if t.ndim == 2 else m[:, t]
-                    data_g[j] = m.astype(dtype)
-        sys_g = dataclasses.replace(sys_g, data=jnp.asarray(data_g))
+            sys_g = dataclasses.replace(sys_g, data=jnp.asarray(data_g))
         groups.append(sys_g)
         plans.append(plan_g)
 
     ms = multires.build_multi_system(groups, jnp.asarray(cl0))
     bins = tuple(int(x) for x in np.unique(np.concatenate(
         [[0, 2], np.geomspace(4, max(lmax_c, 5), 10).astype(int)])))
-    cl_cfg = ClModelConfig(kind="binned", lmax=lmax_c, nmaps=1,
+    cl_cfg = ClModelConfig(kind="binned", lmax=lmax_c, nmaps=S,
                            bin_starts=bins)
-    meta = {"lmax": lmax_c, "nmaps": 1, "groups": [list(g) for g in
+    meta = {"lmax": lmax_c, "nmaps": S, "groups": [list(g) for g in
             [(ns, lm) for ns, lm in group_keys]],
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in bands],
-            "band_slot": band_slot}
+            "band_slot": band_slot,
+            "bps": bps, "thetas0": thetas0,
+            "ell_mask": ell_mask, "pol": pol}
     return ms, plans, diffuse, cl_cfg, meta, a_true
 
 
 def run_multires(cfg, niter=None, outdir=None, synthetic=False,
                  dtype="float64", verbose=True, chain=1, data_dir=None,
-                 max_nside=None, tod=False):
+                 max_nside=None, tod=False, pol=False):
     """Gibbs chain over heterogeneous-resolution bands (amplitude + C_ell;
     the multires counterpart of run()). With tod=True, bands whose
     TOD_TYPE is set run the TOD pipeline at their group's native
@@ -1864,7 +1933,12 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
 
     (ms, plans, diffuse, cl_cfg, meta, a_true) = build_multi_model(
         cfg, synthetic=synthetic, data_dir=data_dir, dtype=dtype,
-        max_nside=max_nside)
+        max_nside=max_nside, pol=pol)
+    S = meta["nmaps"]
+    bps = meta["bps"]
+    thetas = [tuple(t) for t in meta["thetas0"]]
+    ell_mask = jnp.asarray(meta["ell_mask"])
+    pcfgs_mr = {c.label: c for c in cfg.comps}
     outdir = outdir or cfg.output_dir or "./chains"
     os.makedirs(outdir, exist_ok=True)
     niter = niter or cfg.num_gibbs_iter
@@ -1874,7 +1948,7 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
     ch = ChainFile(chain_path)
 
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed), chain)
-    cl_bins = jnp.full((len(diffuse), 1, nbins), 100.0)
+    cl_bins = jnp.full((len(diffuse), S, nbins), 100.0)
 
     # --- TOD bands inside the multires loop: synthetic archives at each
     # band's group resolution (stand-in for read_tod; real archives go
@@ -1930,6 +2004,7 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
     def step(ms_in, plans_in, cl_bins, k):
         k1, k2, k3 = jax.random.split(k, 3)
         cl = jax.vmap(lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(cl_bins)
+        cl = cl * ell_mask     # COMP_LMAX_AMP/LMIN_AMP projection
         ms2 = dataclasses.replace(ms_in, cl=cl)
         a, res = multires.sample_amplitudes_multi(ms2, plans_in, key=k1,
                                                   tol=cfg.cg_tol,
@@ -1946,7 +2021,7 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
         # passes so gain/sigma0/n_corr converge (see _tod_burnin)
         C = ms.cl.shape[0]
         nl = ms.cl.shape[-1]
-        a = jnp.zeros((C, 1, nl, nl), jnp.complex128)
+        a = jnp.zeros((C, S, nl, nl), jnp.complex128)
         for _ in range(3):
             for i, (tcfg, block, tstate, kind, g, j) in tod_blocks.items():
                 key, k = jax.random.split(key)
@@ -1968,19 +2043,104 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
                                               pvecs[g], k)
                 tod_blocks[i] = (tcfg, block, tstate, kind, g, j)
                 sys_g = new_groups[g]
-                m = jnp.asarray(prod["map"][0])
-                r = jnp.asarray(prod["rms"][0])
-                hit = r > 0
-                data_g = sys_g.data.at[j, 0].set(
-                    jnp.where(hit, m, sys_g.data[j, 0]))
-                ir = jnp.where(hit, 1.0 / jnp.maximum(r, 1e-30), 0.0)
-                new_groups[g] = dataclasses.replace(
-                    sys_g, data=data_g,
-                    inv_rms=sys_g.inv_rms.at[j, 0].set(ir),
-                    inv_rms2=sys_g.inv_rms2.at[j, 0].set(ir * ir))
+                for s_i in range(np.asarray(prod["map"]).shape[0]):
+                    m = jnp.asarray(prod["map"][s_i])
+                    r = jnp.asarray(prod["rms"][s_i])
+                    hit = r > 0
+                    data_g = sys_g.data.at[j, s_i].set(
+                        jnp.where(hit, m, sys_g.data[j, s_i]))
+                    ir = jnp.where(hit, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+                    sys_g = dataclasses.replace(
+                        sys_g, data=data_g,
+                        inv_rms=sys_g.inv_rms.at[j, s_i].set(ir),
+                        inv_rms2=sys_g.inv_rms2.at[j, s_i].set(ir * ir))
+                new_groups[g] = sys_g
             ms = dataclasses.replace(ms, groups=tuple(new_groups))
 
         a, cl_bins, iters, relres, key = step(ms, tuple(plans), cl_bins, key)
+
+        # --- fullsky spectral indices across ALL resolution groups
+        # (sampleDiffuseSpecIndFullsky with the group-summed lnL) ---
+        if cfg.sample_specind:
+            from .sampling import specind as si
+            changed = False
+            for ci, d in enumerate(diffuse):
+                pc = pcfgs_mr.get(d.name)
+                names = list(pc.indices.keys()) if pc else []
+                for which, pname in enumerate(names):
+                    info = pc.indices[pname]
+                    u = 1e9 if pname == "nu_p" else 1.0
+                    t0 = thetas[ci][which]
+                    lo = (info.get("low") * u if info.get("low") is not None
+                          else t0 - 0.5 * abs(t0) - 0.1)
+                    hi = (info.get("high") * u
+                          if info.get("high") is not None
+                          else t0 + 0.5 * abs(t0) + 0.1)
+                    sic = si.SpecIndConfig(
+                        grid_min=float(lo), grid_max=float(hi), ngrid=64,
+                        prior_mean=(info.get("prior_mean") * u
+                                    if info.get("prior_mean") is not None
+                                    else None),
+                        prior_std=(info.get("prior_rms") * u
+                                   if info.get("prior_rms") else None))
+                    grid = sic.grid(jnp.float64)
+                    lnl_tot = None
+                    for g, (sys_g, plan_g) in enumerate(zip(ms.groups,
+                                                            plans)):
+                        nl_g = plan_g.lmax + 1
+                        a_g = a[..., :nl_g, :nl_g]
+                        sky_g = amp._synth(
+                            plan_g, amp._project_bands(sys_g, plan_g, a_g))
+                        res_g = sys_g.data - sky_g
+                        amp_g = amp._synth(plan_g,
+                                           a_g[ci] * sys_g.bl[0, :1])
+                        lnl_g = si._grid_lnL_pixel(
+                            d, [bps[i] for i in range(len(cfg.bands))
+                                if meta["band_slot"][i][0] == g],
+                            sic, res_g, amp_g, sys_g.inv_rms2,
+                            thetas[ci], which)
+                        contrib = jnp.sum(lnl_g, axis=0)
+                        lnl_tot = contrib if lnl_tot is None                             else lnl_tot + contrib
+                    key, ik = jax.random.split(key)
+                    t_new = float(np.asarray(
+                        si._cdf_invert(ik, lnl_tot, grid)))
+                    row = list(thetas[ci])
+                    row[which] = t_new
+                    thetas[ci] = tuple(row)
+                    changed = True
+            if changed:
+                # rebuild every group's mixing at the new thetas
+                # (updateMixmat per band, comm_diffuse_comp_mod.f90:1662)
+                from .model.mixing import mixing_matrix as _mm
+                F_all2 = np.asarray(_mm(diffuse, bps, thetas=thetas),
+                                    dtype=dtype)
+                new_groups = []
+                for g, sys_g in enumerate(ms.groups):
+                    idxs = [i for i in range(len(cfg.bands))
+                            if meta["band_slot"][i][0] == g]
+                    Fg = jnp.asarray(F_all2[idxs])[..., None].repeat(
+                        S, axis=-1)
+                    new_groups.append(dataclasses.replace(
+                        sys_g, F=Fg.astype(sys_g.data.dtype)))
+                ms = dataclasses.replace(ms, groups=tuple(new_groups))
+
+        # --- map-level gain per band (comm_gain_mod.f90:29) ---
+        gains_mr = np.ones(len(cfg.bands))
+        if any(b.sample_gain for b in cfg.bands):
+            from .sampling.gain import sample_gain as _sg
+            for g, (sys_g, plan_g) in enumerate(zip(ms.groups, plans)):
+                nl_g = plan_g.lmax + 1
+                sky_g = amp._synth(plan_g, amp._project_bands(
+                    sys_g, plan_g, a[..., :nl_g, :nl_g]))
+                key, gk = jax.random.split(key)
+                gg = np.asarray(_sg(gk, sys_g.data, sky_g,
+                                    sys_g.inv_rms2, prior_mean=1.0,
+                                    prior_std=0.1))
+                for i in range(len(cfg.bands)):
+                    gi, j = meta["band_slot"][i]
+                    if gi == g and cfg.bands[i].sample_gain:
+                        gains_mr[i] = gg[j]
+
         if verbose:
             print(f"iter {it:5d}  cg {int(iters):3d} "
                   f"({float(relres):.1e})", flush=True)
@@ -1988,9 +2148,11 @@ def run_multires(cfg, niter=None, outdir=None, synthetic=False,
             a_np = np.asarray(jnp.stack([a.real, a.imag]))
             comps_out = {d.name: {"alm": a_np[0][i] + 1j * a_np[1][i]}
                          for i, d in enumerate(diffuse)}
-            ch.write_sample(it, comps_out,
-                            gains=np.ones(len(cfg.bands)),
-                            extra={"cg_iters": int(iters)})
+            ch.write_sample(it, comps_out, gains=gains_mr,
+                            extra={"cg_iters": int(iters),
+                                   "specind": np.asarray(
+                                       [np.mean(t) for th in thetas
+                                        for t in th] or [0.0])})
     ch.close()
     return a, chain_path, a_true
 

@@ -69,6 +69,11 @@ class AmplitudeSystem:
     # diagonal sqrt(cl) multiply; cl must hold the matching diagonal
     # (used by the preconditioners).
     sqrtS_mat: jnp.ndarray | None = None     # (C, nl, S, S)
+    # Optional per-component ell window (COMP_LMAX_AMP/LMIN_AMP): the
+    # reference's lmax projection masks (comm_cr_mod.f90:858-860). Applied
+    # multiplicatively to the prior spectrum each time Cl is re-evaluated
+    # (zero prior power = exact confinement since a = S^1/2 x).
+    ell_mask: jnp.ndarray | None = None      # (C, S, nl)
 
 
 def apply_invN(sys: "AmplitudeSystem", m):
@@ -92,7 +97,7 @@ def apply_sqrt_invN(sys: "AmplitudeSystem", m):
 
 
 def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None,
-                 cl_mat=None) -> AmplitudeSystem:
+                 cl_mat=None, ell_mask=None) -> AmplitudeSystem:
     """cl_mat: optional (C, nl, S, S) Stokes-coupled prior covariance
     (TE coupling); when given, cl is overridden by its diagonal and the
     operator uses the symmetric matrix root."""
@@ -117,11 +122,15 @@ def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None,
         cl_mat = jnp.asarray(cl_mat)
         sqrtS_mat = sqrt_psd(cl_mat)
         cl = jnp.einsum("clss->csl", cl_mat)
+    cl = jnp.asarray(cl)
+    if ell_mask is not None:
+        ell_mask = jnp.asarray(ell_mask)
+        cl = cl * ell_mask
     return AmplitudeSystem(F=F, bl=jnp.asarray(bl), inv_rms2=inv_rms**2,
-                           inv_rms=inv_rms, cl=jnp.asarray(cl),
+                           inv_rms=inv_rms, cl=cl,
                            data=jnp.asarray(data), tri=tri,
                            inv_qu=inv_qu, sqrt_inv_qu=sqrt_inv_qu,
-                           sqrtS_mat=sqrtS_mat)
+                           sqrtS_mat=sqrtS_mat, ell_mask=ell_mask)
 
 
 def _sqrtS(sys: AmplitudeSystem, u):

@@ -95,6 +95,9 @@ def gibbs_step(cfg: GibbsConfig, base_sys: amp.AmplitudeSystem, plan,
 
     # 1. amplitudes | Cl  (comm_signal_mod.f90:154 sample_amps_by_CG)
     cl = eval_cl_all(cfg, base_sys, state.cl_bins)
+    if base_sys.ell_mask is not None:
+        # COMP_LMAX_AMP/LMIN_AMP projection (comm_cr_mod.f90:858-860)
+        cl = cl * base_sys.ell_mask
     sys = dataclasses.replace(base_sys, cl=cl)
     t_new, p_new = state.t, state.p
     if cfg.groups:

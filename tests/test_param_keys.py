@@ -305,3 +305,29 @@ def test_driver_cg_groups_mode(tmp_path_factory):
         # relquad amplitude pinned at its rms=0 prior mean
         t_amps = np.asarray(s["aux"]["md_amps"])
         assert abs(t_amps[-1] - 1.0) < 1e-3
+
+
+def test_comp_lmax_projection(tmp_path):
+    """COMP_LMAX_AMP confines a component's amplitude to l <= lmax_amp
+    (the projection masks of comm_cr_mod.f90:858-860)."""
+    from commander_tpu import run as run_mod
+    from commander_tpu.io.chain import ChainFile
+
+    cfg = _cfg()
+    for c in cfg.comps:
+        c.template_file = None
+    cfg.comps = [c for c in cfg.comps if c.label in ("cmb", "synch")]
+    for c in cfg.comps:
+        if c.label == "synch":
+            c.lmax_amp = 6
+    out = str(tmp_path / "chains")
+    state, chain_path = run_mod.run(cfg, nside=8, lmax=16, synthetic=True,
+                                    niter=2, outdir=out, verbose=False)
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(ch.last_sample())
+    a_s = s["comps"]["synch"]["alm"]
+    p_low = np.sum(np.abs(a_s[:, :7, :]) ** 2)
+    p_high = np.sum(np.abs(a_s[:, 7:, :]) ** 2)
+    assert p_high < 1e-10 * max(p_low, 1e-30), (p_low, p_high)
+    a_c = s["comps"]["cmb"]["alm"]
+    assert np.sum(np.abs(a_c[:, 7:, :]) ** 2) > 0
