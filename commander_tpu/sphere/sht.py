@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any
 
 import jax
@@ -147,7 +148,7 @@ def _chirp_powers(n: np.ndarray, k2: np.ndarray) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False,
              dtype: str = "float64", weights: str = "ring",
-             tables: bool = True,
+             tables: bool | None = None,
              legendre_backend: str = "xla",
              otf_chunk: int = 64,
              precision: str = "float32") -> SHTPlan:
@@ -157,9 +158,32 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     are None) — used by the on-the-fly transforms (sht_otf) that only need
     the ring/Bluestein machinery of the plan. legendre_backend selects the
     tableless Legendre stage: 'xla' (chunked scan) or 'pallas' (fused
-    kernel; interpret-mode automatically on CPU)."""
+    kernel; interpret-mode automatically on CPU).
+
+    tables=None (default) resolves automatically: tables when the Legendre
+    table stays under 2 GiB, else the fused Pallas OTF path. Tables above
+    2^31 BYTES are additionally unsafe on the TPU runtime: a single
+    f32 table > 2 GiB MISCOMPUTES inside long on-device loops (the
+    nside-512 CG divergence of BASELINE.md round 3 — single transforms
+    test accurate, but the CR solve diverges; the identical solve on the
+    OTF path converges to the f32 floor), so an explicit tables=True
+    request above the limit raises unless
+    COMMANDER_TPU_ALLOW_BIG_TABLES=1."""
     if mmax is None:
         mmax = lmax
+    table_bytes = (2 * nside) * (lmax + 1) * (mmax + 1) \
+        * np.dtype(dtype).itemsize * (3 if spin2 else 1)
+    if tables is None:
+        tables = table_bytes < 2 ** 31
+        if not tables and legendre_backend == "xla":
+            legendre_backend = "pallas"
+    elif tables and table_bytes >= 2 ** 31 \
+            and not os.environ.get("COMMANDER_TPU_ALLOW_BIG_TABLES"):
+        raise ValueError(
+            f"Legendre table would be {table_bytes / 2**30:.1f} GiB "
+            f">= 2 GiB: >2^31-byte tables miscompute on the TPU runtime "
+            f"(BASELINE.md round 3). Use tables=None/False (OTF path) or "
+            f"set COMMANDER_TPU_ALLOW_BIG_TABLES=1.")
     rdtype = jnp.dtype(dtype)
     cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
     g = healpix.ring_geometry(nside)
