@@ -181,3 +181,16 @@ def test_flop_count_scaling():
     assert 6.0 < c2["legendre"] / c1["legendre"] < 10.0
     assert sht.flop_count(p1, spin2=True)["legendre"] == \
         2 * c1["legendre"]
+
+
+def test_table_size_guard():
+    """>2^31-byte Legendre tables are refused (TPU runtime miscompute,
+    BASELINE.md round 3); tables=None auto-routes big plans through OTF."""
+    import pytest as _pt
+    from commander_tpu.sphere import sht as _sht
+    p = _sht.get_plan(512, 1024, dtype="float32")
+    assert p.lam0 is None and p.otf0 is not None
+    with _pt.raises(ValueError):
+        _sht.get_plan(512, 1024, dtype="float32", tables=True)
+    p2 = _sht.get_plan(16, 32)
+    assert p2.lam0 is not None
