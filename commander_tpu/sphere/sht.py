@@ -162,13 +162,14 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
 
     tables=None (default) resolves automatically: tables when the Legendre
     table stays under 2 GiB, else the fused Pallas OTF path. Tables above
-    2^31 BYTES are additionally unsafe on the TPU runtime: a single
-    f32 table > 2 GiB MISCOMPUTES inside long on-device loops (the
-    nside-512 CG divergence of BASELINE.md round 3 — single transforms
-    test accurate, but the CR solve diverges; the identical solve on the
-    OTF path converges to the f32 floor), so an explicit tables=True
-    request above the limit raises unless
-    COMMANDER_TPU_ALLOW_BIG_TABLES=1."""
+    2^31 bytes are additionally unsafe on the TPU runtime: a CG
+    lax.fori_loop with such a table live MISCOMPUTES (monotonic residual
+    divergence; BASELINE.md round 3) even though single transforms,
+    operator symmetry, AND the same iteration chunked 5-per-jit are all
+    correct — an XLA/runtime long-loop + big-constant interaction. An
+    explicit tables=True request above the limit therefore raises unless
+    COMMANDER_TPU_ALLOW_BIG_TABLES=1 (safe if the caller chunks its
+    loops)."""
     if mmax is None:
         mmax = lmax
     table_bytes = (2 * nside) * (lmax + 1) * (mmax + 1) \
