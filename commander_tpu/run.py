@@ -1526,31 +1526,71 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                             band_delta=bp_deltas[b],
                             shift_model=cfg.bands[b].bandpass_model)
                         aux["bp_delta_det"] = np.asarray(dd)
-                # --- bandpass-shift MH on the TOD chi^2 (sample_bp,
-                # comm_tod_bandpass_mod.f90:28; proposal/accept flow of
-                # commander.f90:299-335) ---
+                # --- band-level bandpass-shift MH on the TOD chi^2
+                # (sample_bp, comm_tod_bandpass_mod.f90:28; proposal flow
+                # commander.f90:299-335). Scalar-theta models evaluate the
+                # proposal chi^2 through the gathered unit component
+                # streams (one quadrature + einsum per proposal,
+                # nside-independent); the full mixing rebuild happens only
+                # on ACCEPT. Map-theta models keep the general rebuild
+                # path. ---
                 if cfg.bands[b].sample_bandpass:
                     from .sampling.mh import accept_bandpass_tod
                     tkey, kp, ka = jax.random.split(tkey, 3)
                     prop = bp_deltas[b] + 0.1e9 * float(
                         jax.random.normal(kp, ()))
-                    ds = bp_deltas.copy(); ds[b] = prop
-                    sys_prop = _rebuild_mixing(diffuse, bps, thetas,
-                                               ds.tolist(), sys)
-                    sky_prop = sky_fn_state(sys_prop, plan, state)
-                    _aux_kw = dict(sl_fmaps=sl_all.get(b),
-                                   s_extra=aux["zodi"], mono=aux["mono"],
-                                   sl_pix=aux["sl_pix"]) \
-                        if kind == "lfi" else {}
-                    c2_cur = tod_chisq_fn(tcfg, block, tstate,
-                                          sky_bands[b], pvec, **_aux_kw)
-                    c2_prop = tod_chisq_fn(tcfg, block, tstate,
-                                           sky_prop[b], pvec, **_aux_kw)
+                    th_sc2 = [tuple(thetas[ci])
+                              for ci in range(len(diffuse))]
+                    fast = (kind == "lfi" and sys.F_pix is None
+                            and not any(np.ndim(t) > 0 for th in th_sc2
+                                        for t in th))
+                    if fast:
+                        from .tod.bandpass_mh import (chisq_det,
+                                                      det_mixing,
+                                                      unit_comp_tod)
+                        from .tod.process import static_signal
+                        comp_tod_b = unit_comp_tod(plan, sys.bl[b],
+                                                   state.a, block,
+                                                   tcfg.pol)
+                        s_stat_b = static_signal(tcfg, block, pvec,
+                                                 sl_all.get(b),
+                                                 aux["zodi"], aux["mono"],
+                                                 aux["sl_pix"])
+                        nd_b = block.ndet
+
+                        def _c2(delta_b):
+                            F_row = det_mixing(
+                                diffuse, [bps[b]] * nd_b, th_sc2,
+                                jnp.full((nd_b,), delta_b),
+                                cfg.bands[b].bandpass_model)
+                            return jnp.sum(chisq_det(
+                                F_row, comp_tod_b, s_stat_b, block,
+                                tstate))
+                        c2_cur = _c2(bp_deltas[b])
+                        c2_prop = _c2(prop)
+                    else:
+                        ds = bp_deltas.copy(); ds[b] = prop
+                        sys_prop = _rebuild_mixing(diffuse, bps, thetas,
+                                                   ds.tolist(), sys)
+                        sky_prop = sky_fn_state(sys_prop, plan, state)
+                        _aux_kw = dict(sl_fmaps=sl_all.get(b),
+                                       s_extra=aux["zodi"],
+                                       mono=aux["mono"],
+                                       sl_pix=aux["sl_pix"]) \
+                            if kind == "lfi" else {}
+                        c2_cur = tod_chisq_fn(tcfg, block, tstate,
+                                              sky_bands[b], pvec,
+                                              **_aux_kw)
+                        c2_prop = tod_chisq_fn(tcfg, block, tstate,
+                                               sky_prop[b], pvec,
+                                               **_aux_kw)
                     d_new, acc = accept_bandpass_tod(
                         ka, c2_cur, c2_prop, bp_deltas[b], prop)
                     if bool(acc):
                         bp_deltas[b] = float(d_new)
-                        sys = sys_prop
+                        ds = bp_deltas.copy()
+                        sys = _rebuild_mixing(diffuse, bps, thetas,
+                                              ds.tolist(), sys)
                 pm = np.asarray(prod["map"])
                 pr = np.asarray(prod["rms"])
                 # IQU rows when the band ran polarized mapmaking
