@@ -2250,7 +2250,7 @@ def main(argv=None):
             run_multires(cfg, niter=args.niter, outdir=args.outdir,
                          synthetic=args.synthetic, dtype=dtype, chain=chain,
                          data_dir=args.data_dir, max_nside=args.max_nside,
-                         tod=args.tod)
+                         tod=args.tod, pol=args.pol)
         else:
             run(cfg, nside=args.nside, lmax=args.lmax,
                 synthetic=args.synthetic, niter=args.niter,
