@@ -18,10 +18,12 @@ import jax.numpy as jnp
 
 chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 nchunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+nside = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+backend = sys.argv[4] if len(sys.argv) > 4 else "table"
 
 cpu = jax.devices("cpu")[0]
 dev = jax.devices()[0]
-nside, lmax, nband, ncomp = 512, 1024, 9, 5
+lmax, nband, ncomp = 2 * nside, 9, 5
 
 with jax.default_device(cpu):
     from commander_tpu.sampling import amplitude as amp
@@ -43,7 +45,10 @@ with jax.default_device(cpu):
     sysm = amp.build_system(jnp.asarray(F), jnp.asarray(bl),
                             jnp.asarray(rms), jnp.asarray(cl),
                             jnp.asarray(data))
-    plan = sht.get_plan(nside, lmax, dtype="float32", tables=True)
+    plan = sht.get_plan(nside, lmax, dtype="float32",
+                        tables=(backend == "table"),
+                        legendre_backend=("pallas" if backend == "pallas"
+                                          else "xla"))
     spec, enc = transfer.encode((plan, sysm))
 enc_d = jax.device_put(enc, dev)
 

@@ -454,3 +454,64 @@ def sample_amplitudes(sys: AmplitudeSystem, plan, key=None, x0=None,
               dot=alm_dot, tol=tol, maxiter=maxiter)
     a = _sqrtS(sys, res.x)
     return a, res
+
+
+def sample_amplitudes_chunked(sys: AmplitudeSystem, plan, key=None,
+                              tol=1e-8, maxiter=300, chunk=10,
+                              precond: str = "diagonal"):
+    """Production CR draw for LARGE plans: the same PCG iteration as
+    sample_amplitudes but executed `chunk` iterations per jit call with
+    the (x, r, z, p, rz) state carried across calls.
+
+    Two reasons this is the big-run path (BASELINE.md round 3): the
+    monolithic lax.while_loop MISCOMPUTES on the TPU runtime when a
+    >2 GiB constant is live, and >100-iteration single calls have crashed
+    the axon TPU worker; chunked execution is bit-identical to the
+    monolithic loop on CPU and converges at nside 1024 / lmax 2048 in
+    20 iterations where the monolithic loop diverged. Returns
+    (a, CGResult)."""
+    from ..ops.cg import CGResult
+
+    @jax.jit
+    def _init(sys, plan, key):
+        rhs = compute_rhs(sys, plan, key)
+        M_inv = _PRECONDS[precond](sys, plan)
+        z0 = M_inv(rhs)
+        bnorm = jnp.sqrt(alm_dot(rhs, rhs))
+        return (jnp.zeros_like(rhs), rhs, z0, z0, alm_dot(rhs, z0), bnorm)
+
+    @partial(jax.jit, static_argnums=3)
+    def _chunk(sys, plan, st, n):
+        M_inv = _PRECONDS[precond](sys, plan)
+        A = partial(apply_A, sys, plan)
+        x, r, z, p, rz, bnorm = st
+
+        def body(i, s):
+            x, r, z, p, rz = s
+            Ap = A(p)
+            alpha = rz / alm_dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M_inv(r)
+            rz_new = alm_dot(r, z)
+            p = z + (rz_new / rz) * p
+            return (x, r, z, p, rz_new)
+
+        x, r, z, p, rz = jax.lax.fori_loop(0, n, body, (x, r, z, p, rz))
+        rel = jnp.sqrt(alm_dot(r, r)) / bnorm
+        return (x, r, z, p, rz, bnorm), rel.astype(jnp.float32)
+
+    st = _init(sys, plan, key)
+    iters = 0
+    rel = jnp.asarray(jnp.inf)
+    while iters < maxiter:
+        n = min(chunk, maxiter - iters)
+        st, rel = _chunk(sys, plan, st, n)
+        iters += n
+        if float(np.asarray(rel)) <= tol:
+            break
+    x = st[0]
+    a = _sqrtS(sys, x)
+    rel = jnp.asarray(float(np.asarray(rel)))
+    return a, CGResult(x=x, iters=jnp.asarray(iters), rel_res=rel,
+                       converged=rel <= tol)

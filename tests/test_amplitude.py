@@ -140,3 +140,30 @@ def test_posterior_sample_statistics():
     assert frac_bad < 0.01, f"{frac_bad:.3f} of coefficients outside 5 sigma"
     # fluctuations are nonzero and of prior order at noise-dominated ells
     assert sstd.max() > 0.1
+
+
+def test_sample_amplitudes_chunked_matches_monolithic():
+    """Chunked big-run PCG (BASELINE round 3) == the while_loop solver."""
+    import numpy as np
+    import jax.numpy as jnp
+    from commander_tpu.sampling import amplitude as amp
+    from commander_tpu.sphere import sht
+    nside, lmax, B, C = 16, 32, 3, 2
+    npix, nl = 12 * nside * nside, lmax + 1
+    rng = np.random.default_rng(0)
+    plan = sht.get_plan(nside, lmax, dtype="float32")
+    F = jnp.asarray(1.0 + rng.uniform(0, 1, (B, C)).astype(np.float32))
+    bl = jnp.ones((B, 1, nl), jnp.float32)
+    ell = np.arange(nl)
+    cl = jnp.asarray((100.0 / np.maximum(ell * (ell + 1.0), 1.0)
+                      )[None, None, :].repeat(C, 0).astype(np.float32))
+    rms = jnp.full((B, 1, npix), 2.0, jnp.float32)
+    data = jnp.asarray(rng.normal(0, 3, (B, 1, npix)).astype(np.float32))
+    sysm = amp.build_system(F, bl, rms, cl, data)
+    a1, r1 = amp.sample_amplitudes(sysm, plan, key=None, tol=1e-9,
+                                   maxiter=60)
+    a2, r2 = amp.sample_amplitudes_chunked(sysm, plan, key=None, tol=1e-9,
+                                           maxiter=60, chunk=7)
+    err = float(jnp.max(jnp.abs(a1 - a2)) / jnp.max(jnp.abs(a1)))
+    assert err < 1e-5
+    assert bool(r2.converged)
