@@ -209,6 +209,44 @@ def _synth_kernel(mp: int, BH: int, BM: int, LC: int,
         prev_s[...], pe_s[...], cur_s[...], ce_s[...] = out
 
 
+def _coeff_pack_traced(otf: LegendreOTF, block_h: int, block_m: int,
+                       block_l: int):
+    """The _coeff_pack arrays derived IN-JIT from the LegendreOTF pytree.
+
+    Numerically identical to _coeff_pack (validated by
+    tests/test_pallas_sht.py::test_traced_pack_matches_host): the
+    sqrt((2l+1)/4pi) norm ratios fold into the otf recurrence arrays and
+    the seed mantissas, then everything pads to block multiples. Deriving
+    the pack from traced inputs instead of host numpy keeps these
+    O(lmax^2) arrays OUT of the compiled program's constants — at
+    lmax 3000 the embedded constants exceeded the axon remote compiler's
+    request size limit (HTTP 413, BASELINE.md round 3)."""
+    nl = otf.lmax + 1
+    nm = otf.mmax + 1
+    nh = otf.x.shape[0]
+    nh_p = _rup(nh, block_h)
+    nm_p = _rup(nm, block_m)
+    nl_p = _rup(nl, block_l)
+    f32 = jnp.float32
+    ell = jnp.arange(nl, dtype=f32)[:, None]
+    n_of = lambda l: jnp.sqrt((2.0 * l + 1.0) / (4.0 * jnp.pi))
+    r_up = n_of(ell + 1.0) / n_of(ell)
+    r_skip = n_of(ell + 1.0) / n_of(jnp.maximum(ell - 1.0, 0.0))
+    A = otf.A.astype(f32) * r_up
+    Bc = otf.Bc.astype(f32) * r_up
+    beta = otf.beta.astype(f32) * r_skip
+    # seed fold: n_{l0} with l0 = max(m, |mp|)
+    l0 = jnp.maximum(otf.m_vals.astype(f32), float(abs(otf.mp)))
+    seeds = otf.seed_mant.astype(f32) * n_of(l0)[None, :]
+    seede = otf.seed_exp
+    padm = lambda a: jnp.pad(a, ((0, nh_p - a.shape[0]),
+                                 (0, nm_p - a.shape[1])))
+    padl = lambda a: jnp.pad(a, ((0, nl_p - a.shape[0]),
+                                 (0, nm_p - a.shape[1])))
+    return (padm(seeds), padm(seede), padl(A), padl(Bc), padl(beta),
+            jnp.pad(otf.x.astype(f32), (0, nh_p - nh))[:, None])
+
+
 def synth_legendre_pallas(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
                           block_h: int = 128, block_m: int = 128,
                           block_l: int = 128, interpret: bool = False,
@@ -223,8 +261,8 @@ def synth_legendre_pallas(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
     block_h = min(block_h, _rup(nh, 8))
     block_m = min(block_m, _rup(nm, 128))
     block_l = min(block_l, _rup(nl, 8))
-    seeds, seede, A, B, beta, x = _coeff_pack(
-        nside, otf.lmax, otf.mp, otf.mmax, block_h, block_m, block_l)
+    seeds, seede, A, B, beta, x = _coeff_pack_traced(
+        otf, block_h, block_m, block_l)
     nh_p, nm_p = seeds.shape
     nl_p = A.shape[0]
 
@@ -340,8 +378,8 @@ def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
         # Mosaic may double-buffer each: keep 2 x 2 x out under ~5 MB of
         # the 16 MB VMEM
         max_b = max(1, int(5e6 // (2 * 2 * nl_p * block_m * 4)))
-    seeds, seede, A, B, beta, x = _coeff_pack(
-        nside, otf.lmax, otf.mp, otf.mmax, block_h, block_m, 8)
+    seeds, seede, A, B, beta, x = _coeff_pack_traced(otf, block_h,
+                                                      block_m, 8)
     nh_p, nm_p = seeds.shape
 
     batch = F_n.shape[:-2]

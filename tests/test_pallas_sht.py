@@ -115,3 +115,25 @@ def test_pallas_backend_dispatch_through_plan():
     a_ref = np.asarray(sht.map2alm(plan_t, jnp.asarray(m_ref)))
     a_p = np.asarray(sht.map2alm(plan_p, jnp.asarray(m_ref)))
     assert np.abs(a_p - a_ref).max() < 1e-4 * np.abs(a_ref).max()
+
+
+def test_traced_pack_matches_host():
+    """_coeff_pack_traced (in-jit, no giant HLO constants) reconstructs
+    the same recurrence data as the host _coeff_pack (value-level: the
+    (mantissa, exponent) decompositions may differ by one block)."""
+    import numpy as np
+    from commander_tpu.sphere import sht_otf
+    from commander_tpu.sphere import pallas_sht as P
+    otf = sht_otf.legendre_otf(16, 47, 0, "float32", backend="pallas")
+    host = P._coeff_pack(16, 47, 0, 47, 16, 128, 8)
+    traced = P._coeff_pack_traced(otf, 16, 128, 8)
+    P0 = sht_otf._SCALE_POW
+    vh = np.asarray(host[0], np.float64) \
+        * 2.0 ** (np.asarray(host[1], np.float64) * P0)
+    vt = np.asarray(traced[0], np.float64) \
+        * 2.0 ** (np.asarray(traced[1], np.float64) * P0)
+    assert np.max(np.abs(vh - vt)) < 1e-6 * np.max(np.abs(vh))
+    for idx in (2, 3, 4, 5):
+        h = np.asarray(host[idx], np.float64)
+        t = np.asarray(traced[idx], np.float64)
+        assert np.max(np.abs(h - t)) < 2e-6 * max(np.max(np.abs(h)), 1e-30)
