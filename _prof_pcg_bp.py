@@ -22,11 +22,19 @@ maxiter = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 
 cpu = jax.devices("cpu")[0]
 dev = jax.devices()[0]
-GROUPS = [  # (nside, lmax, nband, beam fwhm range deg)
-    (16, 64, 3, (2.0, 8.0)),
-    (512, 1500, 8, (0.2, 0.6)),
-    (1024, 3000, 3, (0.08, 0.23)),
-]
+import os as _os
+_variant = _os.environ.get("BP_GROUPS", "full")
+GROUPS = {  # (nside, lmax, nband, beam fwhm range deg)
+    "full": [(16, 64, 3, (2.0, 8.0)),
+             (512, 1500, 8, (0.2, 0.6)),
+             (1024, 3000, 3, (0.08, 0.23))],
+    "no16": [(512, 1500, 8, (0.2, 0.6)),
+             (1024, 3000, 3, (0.08, 0.23))],
+    "cap48": [(16, 48, 3, (2.0, 8.0)),
+              (512, 1500, 8, (0.2, 0.6)),
+              (1024, 3000, 3, (0.08, 0.23))],
+    "hi": [(1024, 3000, 3, (0.08, 0.23))],
+}[_variant]
 ncomp = 5
 lmax_c = max(lm for _, lm, _, _ in GROUPS)
 
@@ -67,21 +75,50 @@ with jax.default_device(cpu):
 enc_d = jax.device_put(enc, dev)
 
 
-@partial(jax.jit, static_argnums=1)
-def solve(e, n):
+from commander_tpu.sphere.alm import alm_dot
+
+
+@jax.jit
+def init(e):
     ms, plans = transfer.decode(spec, e)
-    a, res = multires.sample_amplitudes_multi(
-        ms, plans, key=jax.random.PRNGKey(1), tol=1e-6, maxiter=n)
-    return (res.iters.astype(jnp.float32),
-            res.rel_res.astype(jnp.float32))
+    rhs = multires.compute_rhs_multi(ms, plans, jax.random.PRNGKey(1))
+    M_inv = multires.build_preconditioner_multi(ms, plans)
+    z0 = M_inv(rhs)
+    bnorm = jnp.sqrt(alm_dot(rhs, rhs))
+    return (jnp.zeros_like(rhs), rhs, z0, z0, alm_dot(rhs, z0), bnorm)
 
 
-for n in (3, maxiter):
-    t0 = time.perf_counter()
-    it, rr = solve(enc_d, n)
-    it = float(np.asarray(it))
-    rr = float(np.asarray(rr))
-    dt = time.perf_counter() - t0
-    print(f"maxiter={n:3d}: {dt:8.2f} s wall  iters={it:.0f} "
-          f"relres={rr:.2e}  ({dt / max(it, 1):.2f} s/iter incl "
-          f"compile+rhs)", flush=True)
+@partial(jax.jit, static_argnums=2)
+def run_chunk(e, st, n):
+    ms, plans = transfer.decode(spec, e)
+    M_inv = multires.build_preconditioner_multi(ms, plans)
+    A = partial(multires.apply_A_multi, ms, plans)
+    x, r, z, p, rz, bnorm = st
+
+    def body(i, s):
+        x, r, z, p, rz = s
+        Ap = A(p)
+        alpha = rz / alm_dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_inv(r)
+        rz_new = alm_dot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new)
+
+    x, r, z, p, rz = jax.lax.fori_loop(0, n, body, (x, r, z, p, rz))
+    rel = jnp.sqrt(alm_dot(r, r)) / bnorm
+    return (x, r, z, p, rz, bnorm), rel.astype(jnp.float32)
+
+
+t0 = time.perf_counter()
+st = init(enc_d)
+done = 0
+chunk = 10
+while done < maxiter:
+    st, rel = run_chunk(enc_d, st, chunk)
+    done += chunk
+    print(f"iter {done:3d}: recurred relres {float(np.asarray(rel)):.3e}"
+          f"  ({time.perf_counter() - t0:.0f}s)", flush=True)
+    if float(np.asarray(rel)) < 1e-8:
+        break
