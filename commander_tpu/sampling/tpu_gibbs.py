@@ -127,7 +127,7 @@ def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
         t_new = si.sample_specind_fullsky(
             k, comps[slot.ci], bps, slot.cfg, res, amp_pix,
             sys_i.inv_rms2, tt[slot.ci], which=slot.which)
-        th = th.at[i].set(jnp.reshape(t_new, ()))
+        th = th.at[i].set(jnp.reshape(t_new, ()).astype(th.dtype))
 
     # final mixing with the fresh thetas (next iteration's operator)
     F = mixing_matrix(comps, bps, thetas=theta_tuple(th))

@@ -78,6 +78,29 @@ def decode(spec: TransferSpec, enc):
     return jtu.tree_unflatten(spec.treedef, out)
 
 
+def encode_like(spec: TransferSpec, tree):
+    """In-jit inverse of decode: re-encode `tree` (matching `spec`) into
+    float-only leaves, so jitted step functions can RETURN updated state
+    in transferable form and carry it across jit calls device-side.
+
+    This is the chunked-iteration carry pattern that works around the
+    XLA/TPU long-fori_loop miscompile (BASELINE.md round-3): keep each
+    jit's loop short and thread the state through encoded leaves."""
+    leaves = jtu.tree_leaves(tree)
+    out = []
+    for (kind, dt), x in zip(spec.kinds, leaves):
+        if kind == "c":
+            wide = jnp.float64 if dt == "complex128" else jnp.float32
+            out.append(jnp.stack([jnp.real(x), jnp.imag(x)]).astype(wide))
+        elif kind == "i":
+            out.append(x.astype(jnp.float64))
+        elif kind in ("o", "b"):
+            out.append(x.astype(jnp.float32))
+        else:
+            out.append(x)
+    return out
+
+
 def device_put_encoded(tree, device) -> tuple[TransferSpec, list]:
     """encode + device_put in one step."""
     spec, enc = encode(tree)
