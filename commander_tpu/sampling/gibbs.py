@@ -67,6 +67,12 @@ class GibbsConfig:
     # amplitude step is a Gibbs sweep of per-group conditional solves
     # (commander.f90:211-221) instead of one joint draw.
     groups: tuple = ()
+    # InvGamma(alpha0, beta0) hyperprior on binned C_b. The default
+    # (-1, 0) is the reference's flat prior on C_b; proper values are
+    # used by the Geweke joint-consistency validation (a flat prior has
+    # no normalizable forward simulation).
+    cl_alpha0: float = -1.0
+    cl_beta0: float = 0.0
 
 
 def init_state(key, ncomp, nmaps, lmax, nbins, cl0=1.0, ntemp=0,
@@ -176,7 +182,9 @@ def sample_cl_all(cfg: GibbsConfig, k_cl, a, cl_bins) -> jnp.ndarray:
             return _ml_cl_bins(cfg.cl_cfg, a)
         keys = jax.random.split(k_cl, a.shape[0])
         return jax.vmap(
-            lambda k, ac: sample_cl_binned_invgamma(k, cfg.cl_cfg, ac)
+            lambda k, ac: sample_cl_binned_invgamma(
+                k, cfg.cl_cfg, ac, alpha0=cfg.cl_alpha0,
+                beta0=cfg.cl_beta0)
         )(keys, a)
     new_bins = cl_bins
     for c, cc in enumerate(cfg.cl_cfgs):
@@ -188,6 +196,7 @@ def sample_cl_all(cfg: GibbsConfig, k_cl, a, cl_bins) -> jnp.ndarray:
         else:
             draw = sample_cl_binned_invgamma(
                 jax.random.fold_in(k_cl, c), cc, a[c],
+                alpha0=cfg.cl_alpha0, beta0=cfg.cl_beta0,
                 prev_bins=cl_bins[c, :, :nb])
         new_bins = new_bins.at[c, :, :nb].set(draw)
     return new_bins

@@ -1,0 +1,153 @@
+"""Geweke joint-distribution test of the FULL production Gibbs step:
+amplitudes + binned C_ell + spectral index + in-jit mixing rebuild
+(tpu_gibbs.full_gibbs_step — the jitted path of the driver's loop body,
+commander.f90:182-254 minus TOD).
+
+BASELINE protocol step 3 (posterior moments correct in distribution) for
+the joint chain, not just the amplitude+Cl subchain (round-3 VERDICT
+missing #5): forward marginal-conditional draws of (beta, Cl, a, d) must
+match the successive-conditional Gibbs chain with data refresh in every
+summary statistic. Any error in the spectral-index grid inversion, the
+mixing rebuild, the CG fluctuation terms, or the Cl hyperprior shows up
+as a biased z-score.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from commander_tpu.instrument.bandpass import delta_bandpass
+from commander_tpu.model.cl import (ClModelConfig, cl_eval,
+                                    sample_cl_prior)
+from commander_tpu.model.mixing import DiffuseComponent, mixing_matrix
+from commander_tpu.sampling import amplitude as amp
+from commander_tpu.sampling import gibbs as gibbs_mod
+from commander_tpu.sampling import specind as si
+from commander_tpu.sampling import tpu_gibbs
+from commander_tpu.sphere import sht
+from commander_tpu.sphere.alm import random_alm_white, triangle_mask
+
+NSIDE, LMAX = 8, 8
+NPIX = 12 * NSIDE * NSIDE
+NL = LMAX + 1
+A0, B0 = 4.0, 300.0          # proper InvGamma prior on Cl bins
+RMS = 8.0
+B_MEAN, B_STD = -3.0, 0.2    # Gaussian prior on the synch index
+B_LO, B_HI = -3.6, -2.4      # grid bounds (truncation range)
+
+COMPS = (
+    DiffuseComponent(name="cmb", sed="cmb", nu_ref=100e9, unit="uK_cmb"),
+    DiffuseComponent(name="synch", sed="power_law", nu_ref=30e9,
+                     theta0=(B_MEAN,)),
+)
+BPS = (delta_bandpass(30e9), delta_bandpass(100e9))
+SLOTS = (tpu_gibbs.IndexSlot(ci=1, which=0, cfg=si.SpecIndConfig(
+    grid_min=B_LO, grid_max=B_HI, ngrid=192, prior_mean=B_MEAN,
+    prior_std=B_STD, lnl_type="chisq")),)
+
+
+def _base():
+    plan = sht.get_plan(NSIDE, LMAX)
+    cl_cfg = ClModelConfig(kind="binned", lmax=LMAX, nmaps=1,
+                           bin_starts=(0, 3, 6))
+    F0 = mixing_matrix(COMPS, BPS)                       # (B, C)
+    bl = np.ones((2, 1, NL))                             # trivial beams:
+    # the index conditional models F(beta) * (Y a) without beam
+    # deconvolution, so exactness requires b_l = 1 here
+    rms = np.full((2, 1, NPIX), RMS)
+    sys = amp.build_system(jnp.asarray(F0), jnp.asarray(bl),
+                           jnp.asarray(rms), jnp.ones((2, 1, NL)),
+                           jnp.zeros((2, 1, NPIX)))
+    tri = jnp.asarray(triangle_mask(NL, NL))
+    gcfg = gibbs_mod.GibbsConfig(cl_cfg=cl_cfg, cg_tol=1e-10,
+                                 cg_maxiter=80, cl_alpha0=A0, cl_beta0=B0)
+    return plan, cl_cfg, gcfg, sys, tri
+
+
+def _stats(cl_bins, a, beta):
+    return np.concatenate([
+        np.log(np.asarray(cl_bins)).ravel(),
+        [float(jnp.sum(jnp.abs(a[0]) ** 2)),
+         float(jnp.sum(jnp.abs(a[1]) ** 2)), float(beta)],
+    ])
+
+
+def _trunc_beta(rng):
+    while True:
+        b = rng.normal(B_MEAN, B_STD)
+        if B_LO < b < B_HI:
+            return b
+
+
+def _forward(plan, cl_cfg, sys, tri, key, beta):
+    """Cl ~ prior, a ~ N(0, S), d = F(beta) Y a + n."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    keys = jax.random.split(k1, 2)
+    cl_bins = jax.vmap(lambda k: sample_cl_prior(k, cl_cfg, 1, A0, B0)
+                       )(keys)                         # (C, 1, nbins)
+    cl = jax.vmap(lambda b: cl_eval(cl_cfg, {"cl_bins": b}))(cl_bins)
+    a = amp.apply_sqrtS(cl, random_alm_white(k2, (2, 1, NL, NL))) * tri
+    F = mixing_matrix(COMPS, BPS, thetas=[(), (beta,)])
+    sys2 = dataclasses.replace(
+        sys, F=F[..., None].repeat(1, axis=-1).astype(sys.F.dtype))
+    sky = amp._synth(plan, amp._project_bands(sys2, plan, a))
+    d = sky + RMS * jax.random.normal(k3, sky.shape, sky.dtype)
+    return cl_bins, a, dataclasses.replace(sys2, data=d)
+
+
+@pytest.mark.slow
+def test_geweke_joint_with_specind():
+    plan, cl_cfg, gcfg, sys0, tri = _base()
+    rng = np.random.default_rng(7)
+    n_mc, n_gibbs, thin = 1500, 2500, 3
+
+    # (1) marginal-conditional forward draws
+    fwd = jax.jit(lambda k, b: _forward(plan, cl_cfg, sys0, tri, k, b))
+    stats_mc = []
+    key = jax.random.PRNGKey(0)
+    for i in range(n_mc):
+        key, k = jax.random.split(key)
+        beta = _trunc_beta(rng)
+        cl_bins, a, _ = fwd(k, beta)
+        stats_mc.append(_stats(cl_bins, a, beta))
+    stats_mc = np.asarray(stats_mc)
+
+    # (2) successive-conditional: the PRODUCTION jitted Gibbs step with
+    # data refresh. full_gibbs_step draws a | (Cl, beta, d), Cl | a,
+    # beta | (a, d) and rebuilds the mixing; we then redraw d | (a, beta).
+    def sc_step(state, th, sys, key):
+        k1, k2 = jax.random.split(key)
+        state, th, sys_new = tpu_gibbs.full_gibbs_step(
+            gcfg, COMPS, BPS, SLOTS, sys, plan, state, th, k1)
+        sky = amp._synth(plan, amp._project_bands(sys_new, plan, state.a))
+        d = sky + RMS * jax.random.normal(k2, sky.shape, sky.dtype)
+        return state, th, dataclasses.replace(sys_new, data=d)
+
+    step = jax.jit(sc_step)
+    key = jax.random.PRNGKey(1)
+    beta = _trunc_beta(rng)
+    cl_bins, a, sys = _forward(plan, cl_cfg, sys0, tri,
+                               jax.random.PRNGKey(2), beta)
+    state = gibbs_mod.init_state(jax.random.PRNGKey(3), 2, 1, LMAX, 3)
+    state = dataclasses.replace(state, a=a, cl_bins=cl_bins)
+    th = jnp.asarray([beta])
+    stats_sc = []
+    for i in range(n_gibbs):
+        key, k = jax.random.split(key)
+        state, th, sys = step(state, th, sys, k)
+        if i > 100 and i % thin == 0:
+            stats_sc.append(_stats(state.cl_bins, state.a, th[0]))
+    stats_sc = np.asarray(stats_sc)
+
+    # z-scores: batch-means variance for the autocorrelated Gibbs stream
+    nb = 25
+    bm = stats_sc[: (len(stats_sc) // nb) * nb].reshape(
+        nb, -1, stats_sc.shape[1])
+    var_bm = bm.mean(axis=1).var(axis=0) / nb
+    for j in range(stats_mc.shape[1]):
+        m1, v1 = stats_mc[:, j].mean(), stats_mc[:, j].var()
+        m2 = stats_sc[:, j].mean()
+        z = (m1 - m2) / np.sqrt(v1 / len(stats_mc) + var_bm[j])
+        assert abs(z) < 4.0, f"stat {j}: z={z:.2f} ({m1:.4f} vs {m2:.4f})"
