@@ -115,3 +115,162 @@ def convert_l2_to_archive(od_files, dets, nside: int, fsamp: float,
         for sid, name, w, th, ph in entries:
             fh.write(f"{sid} {name} {w:.1f} {th:.5f} {ph:.5f}\n")
     return flist
+
+
+# ---------------------------------------------------------------------------
+# WMAP differential-horn converter (todscripts/wmap/fits_to_h5.py)
+# ---------------------------------------------------------------------------
+
+# J2000 celestial -> galactic rotation (the hp.Rotator(coord=['C','G'])
+# matrix used at fits_to_h5.py:266-278)
+_CEL2GAL = np.array([
+    [-0.0548755604, -0.8734370902, -0.4838350155],
+    [+0.4941094279, -0.4448296300, +0.7469822445],
+    [-0.8676661490, -0.1980763734, +0.4559837762]])
+
+
+def _q2m(q):
+    """Quaternions (N, 4) [x,y,z,w] -> rotation matrices (N, 3, 3)
+    (fits_to_h5.py:280-339 Q2M)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    q1, q2, q3, q4 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    m = np.empty((len(q), 3, 3))
+    m[:, 0, 0] = q1 * q1 - q2 * q2 - q3 * q3 + q4 * q4
+    m[:, 0, 1] = 2 * (q1 * q2 + q3 * q4)
+    m[:, 0, 2] = 2 * (q1 * q3 - q2 * q4)
+    m[:, 1, 0] = 2 * (q1 * q2 - q3 * q4)
+    m[:, 1, 1] = -q1 * q1 + q2 * q2 - q3 * q3 + q4 * q4
+    m[:, 1, 2] = 2 * (q2 * q3 + q1 * q4)
+    m[:, 2, 0] = 2 * (q1 * q3 + q2 * q4)
+    m[:, 2, 1] = 2 * (q2 * q3 - q1 * q4)
+    m[:, 2, 2] = -q1 * q1 - q2 * q2 + q3 * q3 + q4 * q4
+    return m
+
+
+def quat_to_pointing(quat, dir_los, dir_pol, nside):
+    """Spacecraft attitude quaternions + horn line-of-sight -> galactic
+    (pix, psi) streams.
+
+    quat: (N, 4) per-sample attitude (caller interpolates frame
+    quaternions to the TOD rate like q_interp, fits_to_h5.py:377-419);
+    dir_los/dir_pol: (3,) horn boresight and polarization axes in the
+    spacecraft frame. psi is the angle of the polarization direction
+    from galactic north in the tangent plane (gamma_from_pol,
+    fits_to_h5.py:340-375)."""
+    M = _q2m(quat)                              # body -> celestial
+    d_cel = M @ np.asarray(dir_los, np.float64)
+    p_cel = M @ np.asarray(dir_pol, np.float64)
+    d_gal = d_cel @ _CEL2GAL.T
+    p_gal = p_cel @ _CEL2GAL.T
+    d_gal /= np.linalg.norm(d_gal, axis=-1, keepdims=True)
+    theta = np.arccos(np.clip(d_gal[:, 2], -1.0, 1.0))
+    phi = np.mod(np.arctan2(d_gal[:, 1], d_gal[:, 0]), 2 * np.pi)
+    pix = _ang2pix(nside, theta, phi)
+    # local east / north basis at each pointing
+    st = np.maximum(np.sqrt(d_gal[:, 0] ** 2 + d_gal[:, 1] ** 2), 1e-12)
+    east = np.stack([-d_gal[:, 1] / st, d_gal[:, 0] / st,
+                     np.zeros(len(d_gal))], -1)
+    north = (np.array([0.0, 0.0, 1.0]) - d_gal * d_gal[:, 2:3]) \
+        / st[:, None]
+    # project pol axis into the tangent plane
+    p_t = p_gal - d_gal * np.sum(p_gal * d_gal, -1, keepdims=True)
+    psi = np.arctan2(np.sum(p_t * east, -1), np.sum(p_t * north, -1))
+    return pix, np.mod(psi, 2 * np.pi)
+
+
+def _flags_to_tod_rate(flags, ntod):
+    """'previous' interpolation of per-frame flags onto the TOD sampling
+    (fits_to_h5.py:113-118)."""
+    flags = np.asarray(flags)
+    t0 = np.arange(len(flags))
+    t = np.linspace(t0.min(), t0.max(), ntod)
+    idx = np.minimum(np.searchsorted(t0, t, side="right") - 1,
+                     len(flags) - 1)
+    return flags[np.maximum(idx, 0)]
+
+
+def convert_wmap_to_archive(days, dets, nside: int, fsamp: float,
+                            out_dir: str, band_label: str = "K1",
+                            n_per_day: int = 1, npsi: int = 4096,
+                            x_im=None, fknee: float = 0.1,
+                            alpha: float = -1.0):
+    """WMAP differential-horn day records -> Commander diff archives.
+
+    Counterpart of todscripts/wmap/fits_to_h5.py write_file_parallel
+    (:54-235): per day, the frame-major TOD matrix is interleaved to a
+    flat stream (:75-78), per-frame DA flags are 'previous'-interpolated
+    to the TOD rate (:113-118), horn-A/B pointing/psi streams are
+    pixelized/wrapped, every stream is split into n_per_day pointing
+    periods, differential-encoded and huffman-compressed.
+
+    days: list of per-day dicts with, per detector label d in `dets`,
+      'tod'  {d: (nframes, nsamp_per_frame)}  uncalibrated TOD frames
+      'daflags' (nframes,) int quality flags
+      'gain' {d: float} gain guesses (scalars row, :72)
+      and EITHER precomputed 'pixA'/'psiA'/'pixB'/'psiB' (ntod,) streams
+      (per horn, shared across the DA's detectors like pix_A[j//4]) OR
+      'quat' (ntod, 4) attitude + 'losA'/'losB'/'polA'/'polB' (3,) axes
+      (routed through quat_to_pointing). Optional 'vsun' (3,).
+
+    Returns the filelist path."""
+    os.makedirs(out_dir, exist_ok=True)
+    from .loader import write_archive_diff
+
+    entries = []
+    x_im = np.zeros(len(dets)) if x_im is None else np.asarray(x_im)
+    for day_i, day in enumerate(days):
+        if "pixA" in day:
+            pixA, psiA = np.asarray(day["pixA"]), np.asarray(day["psiA"])
+            pixB, psiB = np.asarray(day["pixB"]), np.asarray(day["psiB"])
+        else:
+            pixA, psiA = quat_to_pointing(day["quat"], day["losA"],
+                                          day["polA"], nside)
+            pixB, psiB = quat_to_pointing(day["quat"], day["losB"],
+                                          day["polB"], nside)
+        ntod_day = len(pixA)
+        scans = []
+        splits = np.array_split(np.arange(ntod_day), n_per_day)
+        for chunk in splits:
+            nd, nt = len(dets), len(chunk)
+            rec = dict(pixA=np.zeros((nd, nt), np.int64),
+                       psiA=np.zeros((nd, nt)),
+                       pixB=np.zeros((nd, nt), np.int64),
+                       psiB=np.zeros((nd, nt)),
+                       flag=np.zeros((nd, nt), np.int64),
+                       tod=np.zeros((nd, nt)),
+                       vsun=np.asarray(day.get("vsun", np.zeros(3))),
+                       scalars=np.zeros((nd, 4)),
+                       x_im=x_im)
+            for d, det in enumerate(dets):
+                frames = np.asarray(day["tod"][det], np.float64)
+                # interleave frame-major TOD: tod[n::nsamp] = TOD[:, n]
+                flat = frames.reshape(-1, order="C") \
+                    if frames.ndim == 1 else frames.ravel(order="C")
+                flat = flat[:ntod_day]
+                flags = _flags_to_tod_rate(day["daflags"], ntod_day)
+                rec["pixA"][d] = pixA[chunk]
+                rec["psiA"][d] = np.mod(psiA[chunk], 2 * np.pi)
+                rec["pixB"][d] = pixB[chunk]
+                rec["psiB"][d] = np.mod(psiB[chunk], 2 * np.pi)
+                rec["flag"][d] = flags[chunk].astype(np.int64)
+                rec["tod"][d] = flat[chunk]
+                g = float(day.get("gain", {}).get(det, 1.0))
+                rec["scalars"][d] = [g, float(flat[chunk].std() or 1.0),
+                                     fknee, alpha]
+            scans.append(rec)
+        name = f"wmap_{band_label}_{day_i + 1:06d}_arch.h5"
+        write_archive_diff(os.path.join(out_dir, name), nside, fsamp,
+                           list(dets), scans, npsi=npsi)
+        from ..sphere.healpix import pix2ang_ring
+        th_all, ph_all = pix2ang_ring(nside)
+        for j, chunk in enumerate(splits):
+            p0 = int(pixA[chunk[0]])
+            entries.append((j + 1, name, len(chunk), float(th_all[p0]),
+                            float(ph_all[p0])))
+    flist = os.path.join(out_dir, f"filelist_{band_label}.txt")
+    with open(flist, "w") as fh:
+        fh.write(f"{len(entries)}\n")
+        for sid, name, w, th, ph in entries:
+            fh.write(f"{sid} {name} {w:.1f} {th:.5f} {ph:.5f}\n")
+    return flist

@@ -154,6 +154,143 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = 0,
 
 
 # ---------------------------------------------------------------------------
+# Differential-horn (WMAP-style) archives
+# ---------------------------------------------------------------------------
+
+def write_archive_diff(path: str, nside: int, fsamp: float,
+                       det_names: list, scans: list, npsi: int = 4096):
+    """Write a differential (two-horn) TOD archive.
+
+    WMAP-layout per-detector streams (todscripts/wmap/fits_to_h5.py:
+    190-215: pixA/pixB/psiA/psiB/flag datasets per band group, huffman-
+    compressed differentials; read back by comm_tod_WMAP_mod), carried in
+    the same container layout as the LFI archives here:
+
+        /common/{fsamp, nside, npsi, det, polang, mbang, pids}
+        /NNNNNN/common/{ntod, time, vsun, hufftree, huffsymb}
+        /NNNNNN/<det>/{pixA, psiA, pixB, psiB, flag, tod, scalars, x_im}
+
+    scans: dicts {'pixA','psiA','pixB','psiB','flag','tod' (Nd, Nt),
+    'vsun' (3,), optional 'scalars' (Nd, 4), optional 'x_im' (Nd,)}."""
+    with h5py.File(path, "w") as f:
+        f.create_dataset("common/fsamp", data=fsamp)
+        f.create_dataset("common/nside", data=[nside])
+        f.create_dataset("common/npsi", data=[npsi])
+        f.create_dataset("common/det", data=np.bytes_(", ".join(det_names)))
+        f.create_dataset("common/polang", data=np.zeros(len(det_names)))
+        f.create_dataset("common/mbang", data=np.zeros(len(det_names)))
+        f.create_dataset("common/pids", data=np.arange(1, len(scans) + 1))
+        f.create_dataset("common/diff_horn", data=[1])
+        for i, sc in enumerate(scans):
+            pid = f"{i + 1:06d}"
+            nd, nt = sc["pixA"].shape
+            diffs = []
+            binsA = (np.round(np.asarray(sc["psiA"]) / (2 * np.pi / npsi))
+                     .astype(np.int64) % npsi)
+            binsB = (np.round(np.asarray(sc["psiB"]) / (2 * np.pi / npsi))
+                     .astype(np.int64) % npsi)
+            for d in range(nd):
+                diffs.append(np.diff(np.asarray(sc["pixA"][d], np.int64),
+                                     prepend=0))
+                diffs.append(np.diff(binsA[d], prepend=0))
+                diffs.append(np.diff(np.asarray(sc["pixB"][d], np.int64),
+                                     prepend=0))
+                diffs.append(np.diff(binsB[d], prepend=0))
+                diffs.append(np.diff(np.asarray(sc["flag"][d], np.int64),
+                                     prepend=0))
+            tree, symb = huffman.build_tree(np.concatenate(diffs))
+            f.create_dataset(f"{pid}/common/ntod", data=[nt])
+            f.create_dataset(f"{pid}/common/time", data=[0.0, 0.0, 0.0])
+            f.create_dataset(f"{pid}/common/vsun",
+                             data=np.asarray(sc["vsun"]))
+            f.create_dataset(f"{pid}/common/hufftree", data=tree)
+            f.create_dataset(f"{pid}/common/huffsymb", data=symb)
+            for d, det in enumerate(det_names):
+                g = f"{pid}/{det}"
+                for k, j in (("pixA", 0), ("psiA", 1), ("pixB", 2),
+                             ("psiB", 3), ("flag", 4)):
+                    f.create_dataset(
+                        g + "/" + k,
+                        data=np.void(huffman.encode(diffs[5 * d + j],
+                                                    tree, symb)))
+                f.create_dataset(g + "/tod",
+                                 data=np.asarray(sc["tod"][d], np.float32))
+                sca = sc.get("scalars")
+                f.create_dataset(g + "/scalars",
+                                 data=np.asarray(sca[d]) if sca is not None
+                                 else np.array([1.0, 1.0, 0.1, -1.0]))
+                xim = sc.get("x_im")
+                f.create_dataset(g + "/x_im",
+                                 data=float(xim[d]) if xim is not None
+                                 else 0.0)
+
+
+def read_archive_diff(path: str, bad_flag_bits: int = 0, scan_ids=None,
+                      dets=None):
+    """Load a differential archive into (DiffTodBlock, TodState seed,
+    meta). Mirrors read_archive for the two-horn layout; meta carries the
+    per-det imbalance parameters x_im (comm_tod_WMAP_mod x_im)."""
+    from .differential import DiffTodBlock
+
+    with h5py.File(path, "r") as f:
+        fsamp = float(np.asarray(f["common/fsamp"]))
+        nside = int(np.asarray(f["common/nside"])[0])
+        npsi = int(np.asarray(f["common/npsi"])[0])
+        all_dets = [s.strip() for s in
+                    f["common/det"][()].decode().split(",")]
+        dets = [d for d in all_dets if dets is None or d in dets]
+        pids = sorted(k for k in f.keys() if k.isdigit())
+        if scan_ids is not None:
+            want = {int(s) for s in scan_ids}
+            pids = [p for p in pids if int(p) in want]
+        if not pids:
+            raise ValueError(f"archive {path!r} contains no scan groups")
+        ntods = [int(np.asarray(f[f"{p}/common/ntod"])[0]) for p in pids]
+        nt_max = max(ntods)
+        Ns, Nd = len(pids), len(dets)
+        tod = np.zeros((Ns, Nd, nt_max), np.float64)
+        pixA = np.zeros((Ns, Nd, nt_max), np.int32)
+        psiA = np.zeros((Ns, Nd, nt_max), np.float64)
+        pixB = np.zeros((Ns, Nd, nt_max), np.int32)
+        psiB = np.zeros((Ns, Nd, nt_max), np.float64)
+        mask = np.zeros((Ns, Nd, nt_max), np.float64)
+        vsun = np.zeros((Ns, 3), np.float64)
+        scal = np.ones((Ns, Nd, 4), np.float64)
+        x_im = np.zeros((Nd,), np.float64)
+        for s, p in enumerate(pids):
+            nt = ntods[s]
+            tree = np.asarray(f[f"{p}/common/hufftree"], np.int64)
+            symb = np.asarray(f[f"{p}/common/huffsymb"], np.int64)
+            vsun[s] = np.asarray(f[f"{p}/common/vsun"])
+            for d, det in enumerate(dets):
+                g = f[f"{p}/{det}"]
+                pixA[s, d, :nt] = _decode_stream(g["pixA"], tree, symb, nt)
+                psiA[s, d, :nt] = (_decode_stream(g["psiA"], tree, symb, nt)
+                                   % npsi) * (2 * np.pi / npsi)
+                pixB[s, d, :nt] = _decode_stream(g["pixB"], tree, symb, nt)
+                psiB[s, d, :nt] = (_decode_stream(g["psiB"], tree, symb, nt)
+                                   % npsi) * (2 * np.pi / npsi)
+                flags = _decode_stream(g["flag"], tree, symb, nt)
+                mask[s, d, :nt] = (flags & bad_flag_bits) == 0
+                tod[s, d, :nt] = np.asarray(g["tod"])[:nt]
+                if "scalars" in g:
+                    scal[s, d] = np.asarray(g["scalars"])
+                if "x_im" in g:
+                    x_im[d] = float(np.asarray(g["x_im"]))
+    block = DiffTodBlock(tod=jnp.asarray(tod), pixA=jnp.asarray(pixA),
+                         psiA=jnp.asarray(psiA), pixB=jnp.asarray(pixB),
+                         psiB=jnp.asarray(psiB), mask=jnp.asarray(mask),
+                         vsun=jnp.asarray(vsun), fsamp=fsamp)
+    state = TodState(gain=jnp.asarray(scal[..., 0]),
+                     sigma0=jnp.asarray(scal[..., 1]),
+                     fknee=jnp.asarray(scal[..., 2]),
+                     alpha=jnp.asarray(scal[..., 3]),
+                     n_corr=jnp.zeros_like(block.tod))
+    meta = dict(nside=nside, npsi=npsi, dets=dets, fsamp=fsamp, x_im=x_im)
+    return block, state, meta
+
+
+# ---------------------------------------------------------------------------
 # Filelists + weighted scan distribution (BAND_TOD_FILELIST;
 # comm_tod_mod.f90:643-799 get_scan_ids)
 # ---------------------------------------------------------------------------
