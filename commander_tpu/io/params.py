@@ -125,6 +125,11 @@ class BandConfig:
     gain_prior_mean: float = 1.0
     gain_prior_rms: float = 0.0
     sample_gain: bool = False
+    gain_calib_comp: str = "all"           # BAND_GAIN_CALIB_COMP
+    gain_lmin: int = -1                    # BAND_GAIN_LMIN
+    gain_lmax: int = -1                    # BAND_GAIN_LMAX
+    maskfile_calib: Optional[str] = None   # BAND_MASKFILE_CALIB (gain mask)
+    gain_apod_fwhm: float = 0.0            # BAND_GAIN_APOD_FWHM (arcmin)
     tod_type: str = "none"
     sample_bandpass: bool = False          # BAND_SAMP_BANDPASS
     bandpass_model: str = "additive_shift"  # BAND_BANDPASS_MODEL
@@ -206,6 +211,7 @@ class RunConfig:
     #                                       comm_tod_mapmaking_mod.f90:300)
     tod_num_bp_prop: int = 1              # NUM_BP_PROPOSALS_PER_ITER
     tod_4d_nth_iter: int = 0              # TOD_OUTPUT_4D_MAP_EVERY_NTH_ITER
+    resamp_hard_gain_nth: int = 0         # NUMITER_RESAMPLE_HARD_GAIN_PRIORS
 
 
 # per-type spectral index key names in the reference param files
@@ -244,6 +250,13 @@ def lower_params(p: Params) -> RunConfig:
             gain_prior_mean=float(p.get_indexed("BAND_GAIN_PRIOR_MEAN", i, 1.0)),
             gain_prior_rms=float(p.get_indexed("BAND_GAIN_PRIOR_RMS", i, 0.0)),
             sample_gain=bool(p.get_indexed("BAND_SAMP_GAIN", i, False)),
+            gain_calib_comp=str(p.get_indexed("BAND_GAIN_CALIB_COMP", i,
+                                              "all")),
+            gain_lmin=int(p.get_indexed("BAND_GAIN_LMIN", i, -1)),
+            gain_lmax=int(p.get_indexed("BAND_GAIN_LMAX", i, -1)),
+            maskfile_calib=p.get_indexed("BAND_MASKFILE_CALIB", i),
+            gain_apod_fwhm=float(p.get_indexed("BAND_GAIN_APOD_FWHM", i,
+                                               0.0) or 0.0),
             tod_type=str(p.get_indexed("BAND_TOD_TYPE", i, "none")),
             tod_filelist=p.get_indexed("BAND_TOD_FILELIST", i),
             tod_flag=int(p.get_indexed("BAND_TOD_FLAG", i, 0)),
@@ -377,6 +390,8 @@ def lower_params(p: Params) -> RunConfig:
         tod_num_bp_prop=int(p.get("NUM_BP_PROPOSALS_PER_ITER", 1)),
         tod_4d_nth_iter=int(p.get("TOD_OUTPUT_4D_MAP_EVERY_NTH_ITER", 0)
                             or 0),
+        resamp_hard_gain_nth=int(
+            p.get("NUMITER_RESAMPLE_HARD_GAIN_PRIORS", 0) or 0),
         output_input_model=bool(p.get("OUTPUT_INPUT_MODEL", False)),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
         init_chain=(lambda v: None if v is None or str(v).lower() == "none"
