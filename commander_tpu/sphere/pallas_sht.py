@@ -155,11 +155,18 @@ def _rec_advance(cur, cur_e, prev, prev_e, alpha, beta_l, big, bigi):
     return cur_sc, new_e, new, new_e
 
 
-def _synth_kernel(mp: int, BH: int, BM: int, LC: int,
+def _synth_kernel(mp: int, BH: int, BM: int, LC: int, KLAST: int,
                   seed_m_ref, seed_e_ref, A_ref, B_ref, beta_ref, x_ref,
                   a_re_ref, a_im_ref,
                   fn_re_ref, fn_im_ref, fs_re_ref, fs_im_ref,
                   prev_s, pe_s, cur_s, ce_s):
+    """Even/odd-parity-split accumulation (round-4 VPU lever): during the
+    l loop the four out refs hold the EVEN-l and ODD-l partial sums
+    (e_re, e_im, o_re, o_im) — 2 fused updates per l instead of 4 —
+    and only after the last l-chunk are they combined into the
+    north/south spectra via F_n = E + O, F_s = (-1)^m (E - O)
+    (lambda(pi-theta) = (-1)^(l+m) lambda(theta)). Halves the dominant
+    accumulation FLOPs of the ROADMAP roofline analysis."""
     k = pl.program_id(2)
     big = jnp.float32(2.0 ** _SCALE_POW)
     bigi = jnp.float32(2.0 ** -_SCALE_POW)
@@ -183,7 +190,8 @@ def _synth_kernel(mp: int, BH: int, BM: int, LC: int,
 
     @pl.when(run)
     def _work():
-        def body(i_loc, carry):
+        def substep(carry, i_loc, e_re_ref, e_im_ref):
+            """One l step accumulating into the given parity refs."""
             prev, prev_e, cur, cur_e = carry
             l = k * LC + i_loc
             start = jnp.maximum(m_ids, abs(mp)) == l
@@ -192,21 +200,34 @@ def _synth_kernel(mp: int, BH: int, BM: int, LC: int,
             prev2 = jnp.where(start, 0.0, prev)
             prev_e2 = jnp.where(start, 0, prev_e)
             lam = _emit(cur2, cur_e2, bigi)              # (BH, BM)
-            l_par = 1.0 - 2.0 * (l % 2).astype(jnp.float32)
-            lam_s = lam * (l_par * m_par)
             a_re = a_re_ref[:, i_loc, :]                 # (B, BM)
             a_im = a_im_ref[:, i_loc, :]
-            fn_re_ref[...] += lam[None] * a_re[:, None, :]
-            fn_im_ref[...] += lam[None] * a_im[:, None, :]
-            fs_re_ref[...] += lam_s[None] * a_re[:, None, :]
-            fs_im_ref[...] += lam_s[None] * a_im[:, None, :]
+            e_re_ref[...] += lam[None] * a_re[:, None, :]
+            e_im_ref[...] += lam[None] * a_im[:, None, :]
             alpha = A_ref[i_loc, :][None, :] * x + B_ref[i_loc, :][None, :]
             return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
                                 beta_ref[i_loc, :][None, :], big, bigi)
 
+        def body(i2, carry):
+            # LC is even and chunks start at even l: parity is STATIC
+            # within the unrolled pair (even -> fn_* refs as E, odd ->
+            # fs_* refs as O)
+            carry = substep(carry, 2 * i2, fn_re_ref, fn_im_ref)
+            return substep(carry, 2 * i2 + 1, fs_re_ref, fs_im_ref)
+
         out = jax.lax.fori_loop(
-            0, LC, body, (prev_s[...], pe_s[...], cur_s[...], ce_s[...]))
+            0, LC // 2, body,
+            (prev_s[...], pe_s[...], cur_s[...], ce_s[...]))
         prev_s[...], pe_s[...], cur_s[...], ce_s[...] = out
+
+    @pl.when(k == KLAST)
+    def _finalize():
+        e_re, o_re = fn_re_ref[...], fs_re_ref[...]
+        e_im, o_im = fn_im_ref[...], fs_im_ref[...]
+        fn_re_ref[...] = e_re + o_re
+        fn_im_ref[...] = e_im + o_im
+        fs_re_ref[...] = m_par[None] * (e_re - o_re)
+        fs_im_ref[...] = m_par[None] * (e_im - o_im)
 
 
 def _coeff_pack_traced(otf: LegendreOTF, block_h: int, block_m: int,
@@ -247,6 +268,27 @@ def _coeff_pack_traced(otf: LegendreOTF, block_h: int, block_m: int,
             jnp.pad(otf.x.astype(f32), (0, nh_p - nh))[:, None])
 
 
+# Below this many bytes of recurrence-coefficient constants the packs are
+# embedded as compile-time HLO constants (fast: nothing recomputed or
+# re-streamed per transform — the round-2 behavior measured at 25.1 SHT/s
+# at nside 1024); above it they are derived in-jit from the plan pytree
+# (mandatory at lmax 3000, where the constant-laden HLO exceeded the
+# remote compiler's request size limit; BASELINE.md round-3/4 notes).
+_CONST_PACK_MAX_BYTES = 120_000_000
+
+
+def _pick_pack(otf: LegendreOTF, nside: int, block_h: int, block_m: int,
+               block_l: int):
+    nl_p = _rup(otf.lmax + 1, block_l)
+    nm_p = _rup(otf.mmax + 1, block_m)
+    nh_p = _rup(otf.x.shape[0], block_h)
+    const_bytes = 4 * (3 * nl_p * nm_p + 2 * nh_p * nm_p)
+    if const_bytes <= _CONST_PACK_MAX_BYTES:
+        return tuple(jnp.asarray(t) for t in _coeff_pack(
+            nside, otf.lmax, otf.mp, otf.mmax, block_h, block_m, block_l))
+    return _coeff_pack_traced(otf, block_h, block_m, block_l)
+
+
 def synth_legendre_pallas(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
                           block_h: int = 128, block_m: int = 128,
                           block_l: int = 128, interpret: bool = False,
@@ -261,8 +303,8 @@ def synth_legendre_pallas(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
     block_h = min(block_h, _rup(nh, 8))
     block_m = min(block_m, _rup(nm, 128))
     block_l = min(block_l, _rup(nl, 8))
-    seeds, seede, A, B, beta, x = _coeff_pack_traced(
-        otf, block_h, block_m, block_l)
+    seeds, seede, A, B, beta, x = _pick_pack(otf, nside, block_h,
+                                             block_m, block_l)
     nh_p, nm_p = seeds.shape
     nl_p = A.shape[0]
 
@@ -288,7 +330,8 @@ def synth_legendre_pallas(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
         bs_o = pl.BlockSpec((Bc_, block_h, block_m),
                             lambda i, j, k: (0, i, j))
         out_shape = [jax.ShapeDtypeStruct((Bc_, nh_p, nm_p), jnp.float32)] * 4
-        kern = partial(_synth_kernel, otf.mp, block_h, block_m, block_l)
+        kern = partial(_synth_kernel, otf.mp, block_h, block_m, block_l,
+                       grid[2] - 1)
         fn_re, fn_im, fs_re, fs_im = pl.pallas_call(
             kern,
             grid=grid,
@@ -331,8 +374,14 @@ def _adj_kernel(mp: int, BH: int, BM: int, nl: int,
     gs_re, gs_im = gs_re_ref[...], gs_im_ref[...]
     gs_re_m = gs_re * m_par[None]
     gs_im_m = gs_im * m_par[None]
+    # parity-split precombination (round-4 VPU lever): per l the
+    # integrand is gn + (-1)^l gs_m, so precombine the even/odd forms
+    # ONCE per block and do a single multiply-reduce per l instead of
+    # add + scale + multiply-reduce
+    ge_re, ge_im = gn_re + gs_re_m, gn_im + gs_im_m      # even l
+    go_re, go_im = gn_re - gs_re_m, gn_im - gs_im_m      # odd l
 
-    def body(l, carry):
+    def substep(carry, l, g_re, g_im):
         prev, prev_e, cur, cur_e = carry
         start = jnp.maximum(m_ids, abs(mp)) == l
         cur2 = jnp.where(start, seed_m_ref[...], cur)
@@ -340,9 +389,8 @@ def _adj_kernel(mp: int, BH: int, BM: int, nl: int,
         prev2 = jnp.where(start, 0.0, prev)
         prev_e2 = jnp.where(start, 0, prev_e)
         lam = _emit(cur2, cur_e2, bigi)
-        l_par = 1.0 - 2.0 * (l % 2).astype(jnp.float32)
-        row_re = jnp.sum(lam[None] * (gn_re + l_par * gs_re_m), axis=1)
-        row_im = jnp.sum(lam[None] * (gn_im + l_par * gs_im_m), axis=1)
+        row_re = jnp.sum(lam[None] * g_re, axis=1)
+        row_im = jnp.sum(lam[None] * g_im, axis=1)
         idx = (slice(None), pl.dslice(l, 1), slice(None))
         a_re_ref[idx] += row_re[:, None, :]
         a_im_ref[idx] += row_im[:, None, :]
@@ -350,11 +398,19 @@ def _adj_kernel(mp: int, BH: int, BM: int, nl: int,
         return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
                             beta_ref[l, :][None, :], big, bigi)
 
+    def body(i2, carry):
+        # BM is even, so the triangular start l0 = j*BM is even and the
+        # parity of each unrolled substep is static
+        carry = substep(carry, 2 * i2, ge_re, ge_im)
+        return substep(carry, 2 * i2 + 1, go_re, go_im)
+
     z = jnp.zeros((BH, BM), jnp.float32)
     zi = jnp.zeros((BH, BM), jnp.int32)
-    l0 = jnp.minimum(j * BM, nl)                         # triangular start
-    jax.lax.fori_loop(l0, nl, body,
-                      (z, zi, z, jnp.full((BH, BM), -128, jnp.int32)))
+    carry0 = (z, zi, z, jnp.full((BH, BM), -128, jnp.int32))
+    l0_half = jnp.minimum(j * BM, nl) // 2               # triangular start
+    carry = jax.lax.fori_loop(l0_half, nl // 2, body, carry0)
+    if nl % 2 == 1:                                      # final even l
+        substep(carry, nl - 1, ge_re, ge_im)
 
 
 def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
@@ -378,8 +434,8 @@ def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
         # Mosaic may double-buffer each: keep 2 x 2 x out under ~5 MB of
         # the 16 MB VMEM
         max_b = max(1, int(5e6 // (2 * 2 * nl_p * block_m * 4)))
-    seeds, seede, A, B, beta, x = _coeff_pack_traced(otf, block_h,
-                                                      block_m, 8)
+    seeds, seede, A, B, beta, x = _pick_pack(otf, nside, block_h,
+                                             block_m, 8)
     nh_p, nm_p = seeds.shape
 
     batch = F_n.shape[:-2]
