@@ -197,13 +197,56 @@ def _forward_pixmix_T(sys: AmplitudeSystem, plan, g_b):
     return _synth_T(plan, v_c)
 
 
-def apply_A(sys: AmplitudeSystem, plan, u):
-    """(1 + S^1/2 A^T N^-1 A S^1/2) u — one batched Y and Yt over all bands."""
+def _band_groups(sys: AmplitudeSystem, bc: int, extra=()):
+    """Pad the band axis to a multiple of bc and reshape to (G, bc, ...).
+    Padded bands have inv_rms = inv_rms2 = 0, so they contribute
+    nothing to any N^-1-weighted accumulation."""
+    B = sys.F.shape[0]
+    G = -(-B // bc)
+    Bp = G * bc
+
+    def pg(t):
+        t = jnp.pad(t, ((0, Bp - B),) + ((0, 0),) * (t.ndim - 1))
+        return t.reshape((G, bc) + t.shape[1:])
+    return G, tuple(pg(t) for t in (sys.F, sys.bl) + tuple(extra))
+
+
+def _bands_normal_chunked(sys: AmplitudeSystem, plan, a, bc: int):
+    """A^T N^-1 A a with bands processed bc at a time via lax.scan.
+
+    The (B, S, P) pixel-space intermediates never exist at the full band
+    count — the single-chip HBM lever for nside-2048 multi-band systems
+    (BASELINE config 4: 9 bands x 50M pixels of synthesis temporaries
+    exceed one v5e's 16 GB when batched; the reference's cr_matmulA loops
+    bands serially for the same reason, comm_cr_mod.f90:843-954)."""
+    G, (Fg, blg, ivg) = _band_groups(sys, bc, extra=(sys.inv_rms2,))
+    hi = jax.lax.Precision.HIGHEST
+
+    def body(carry, xs):
+        Fg_, blg_, ivg_ = xs
+        alm_b = jnp.einsum("bcs,cslm->bslm", Fg_, a,
+                           precision=hi) * blg_[..., None]
+        m = _synth(plan, alm_b) * ivg_
+        r_b = _synth_T(plan, m) * blg_[..., None]
+        return carry + jnp.einsum("bcs,bslm->cslm", Fg_, r_b,
+                                  precision=hi), None
+    r, _ = jax.lax.scan(body, jnp.zeros_like(a), (Fg, blg, ivg))
+    return r
+
+
+def apply_A(sys: AmplitudeSystem, plan, u, band_chunk: int = 0):
+    """(1 + S^1/2 A^T N^-1 A S^1/2) u — one batched Y and Yt over all
+    bands, or band groups of band_chunk when set (diagonal-noise systems
+    only; HBM-constrained large-nside runs)."""
     a = _sqrtS(sys, u)
     if sys.F_pix is not None:
         m = apply_invN(sys, _forward_pixmix(sys, plan, a))
         r = _forward_pixmix_T(sys, plan, m)
         return u + _sqrtS(sys, r)
+    if band_chunk and sys.inv_qu is None \
+            and sys.F.shape[0] > band_chunk:
+        return u + _sqrtS(sys, _bands_normal_chunked(sys, plan, a,
+                                                     band_chunk))
     alm_b = _project_bands(sys, plan, a)
     m = _synth(plan, alm_b)                      # batch (B, S)
     m = apply_invN(sys, m)
@@ -212,23 +255,52 @@ def apply_A(sys: AmplitudeSystem, plan, u):
     return u + _sqrtS(sys, r)
 
 
-def compute_rhs(sys: AmplitudeSystem, plan, key=None):
+def compute_rhs(sys: AmplitudeSystem, plan, key=None, band_chunk: int = 0):
     """S^1/2 A^T N^-1 d (+ fluctuation terms when key is given).
 
     Reference: cr_computeRHS (comm_cr_mod.f90:542-769) — the eta1 term enters
     as N^-1/2 eta1 added to the inverse-variance-weighted residual, eta2 as a
-    white alm draw (:600-612, :689-766).
+    white alm draw (:600-612, :689-766). band_chunk processes bands in
+    groups like apply_A(band_chunk=...) (per-group eta1 streams keyed by
+    fold_in; diagonal-noise systems only).
     """
-    w = apply_invN(sys, sys.data)
+    k1 = k2 = None
     if key is not None:
         k1, k2 = jax.random.split(key)
-        eta1 = jax.random.normal(k1, sys.data.shape, sys.data.dtype)
-        w = w + apply_sqrt_invN(sys, eta1)
-    if sys.F_pix is not None:
-        rhs = _sqrtS(sys, _forward_pixmix_T(sys, plan, w))
+    if band_chunk and sys.F_pix is None and sys.inv_qu is None \
+            and sys.F.shape[0] > band_chunk:
+        G, (Fg, blg, iv2g, ivg, dg) = _band_groups(
+            sys, band_chunk, extra=(sys.inv_rms2, sys.inv_rms, sys.data))
+        hi = jax.lax.Precision.HIGHEST
+        C = sys.cl.shape[0]
+        nl, nm = sys.tri.shape
+        cdt = jnp.complex128 if sys.data.dtype == jnp.float64 \
+            else jnp.complex64
+        acc0 = jnp.zeros((C,) + sys.data.shape[1:2] + (nl, nm), cdt)
+
+        def body(carry, xs):
+            Fg_, blg_, iv2_, iv_, d_, g = xs
+            w = d_ * iv2_
+            if k1 is not None:
+                eta1 = jax.random.normal(jax.random.fold_in(k1, g),
+                                         d_.shape, d_.dtype)
+                w = w + iv_ * eta1
+            r_b = _synth_T(plan, w) * blg_[..., None]
+            return carry + jnp.einsum("bcs,bslm->cslm", Fg_, r_b,
+                                      precision=hi), None
+        r, _ = jax.lax.scan(body, acc0,
+                            (Fg, blg, iv2g, ivg, dg, jnp.arange(G)))
+        rhs = _sqrtS(sys, r)
     else:
-        r_b = _synth_T(plan, w)
-        rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
+        w = apply_invN(sys, sys.data)
+        if key is not None:
+            eta1 = jax.random.normal(k1, sys.data.shape, sys.data.dtype)
+            w = w + apply_sqrt_invN(sys, eta1)
+        if sys.F_pix is not None:
+            rhs = _sqrtS(sys, _forward_pixmix_T(sys, plan, w))
+        else:
+            r_b = _synth_T(plan, w)
+            rhs = _sqrtS(sys, _project_bands_T(sys, plan, r_b))
     if key is not None:
         eta2 = random_alm_white(k2, rhs.shape[:-2] + rhs.shape[-2:],
                                 sys.data.dtype) * sys.tri

@@ -167,3 +167,51 @@ def test_sample_amplitudes_chunked_matches_monolithic():
     err = float(jnp.max(jnp.abs(a1 - a2)) / jnp.max(jnp.abs(a1)))
     assert err < 1e-5
     assert bool(r2.converged)
+
+
+def test_band_chunked_operator_and_rhs():
+    """apply_A/compute_rhs with band_chunk match the batched versions
+    exactly (the HBM lever for nside-2048 single-chip systems)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from commander_tpu.sampling import amplitude as amp
+    from commander_tpu.sphere import sht
+    from commander_tpu.sphere.alm import random_alm_white
+
+    nside, lmax, B, C = 8, 16, 5, 3
+    nl = lmax + 1
+    npix = 12 * nside * nside
+    rng = np.random.default_rng(0)
+    plan = sht.get_plan(nside, lmax)
+    F = 1.0 + rng.uniform(0.2, 1.0, (B, C))
+    bl = np.exp(-0.001 * np.arange(nl) ** 2)[None, None, :].repeat(B, 0)
+    rms = rng.uniform(1.0, 3.0, (B, 1, npix))
+    cl = np.ones((C, 1, nl))
+    data = rng.standard_normal((B, 1, npix))
+    sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl),
+                           jnp.asarray(rms), jnp.asarray(cl),
+                           jnp.asarray(data))
+    u = random_alm_white(jax.random.PRNGKey(3), (C, 1, nl, nl)) * sys.tri
+    full = amp.apply_A(sys, plan, u)
+    for bc in (1, 2, 3):
+        ch = amp.apply_A(sys, plan, u, band_chunk=bc)
+        np.testing.assert_allclose(np.asarray(ch), np.asarray(full),
+                                   rtol=0, atol=1e-10)
+    # RHS without fluctuations is deterministic: exact match
+    r_full = amp.compute_rhs(sys, plan)
+    r_ch = amp.compute_rhs(sys, plan, band_chunk=2)
+    np.testing.assert_allclose(np.asarray(r_ch), np.asarray(r_full),
+                               rtol=0, atol=1e-10)
+    # with fluctuations the eta1 streams differ by construction, but the
+    # RHS distribution must match: compare means/cov over draws
+    draws_f, draws_c = [], []
+    for i in range(48):
+        draws_f.append(np.asarray(amp.compute_rhs(
+            sys, plan, key=jax.random.PRNGKey(i))).ravel())
+        draws_c.append(np.asarray(amp.compute_rhs(
+            sys, plan, key=jax.random.PRNGKey(i),
+            band_chunk=2)).ravel())
+    vf = np.var(np.asarray(draws_f).real, axis=0).mean()
+    vc = np.var(np.asarray(draws_c).real, axis=0).mean()
+    assert abs(vf - vc) / vf < 0.35
