@@ -50,19 +50,29 @@ with jax.default_device(cpu):
     cl = np.zeros((ncomp, 1, nl), np.float32)
     cl[:, :, 2:] = 100.0 / (ell[2:] * (ell[2:] + 1.0))
     data = rng.normal(0, 1, (nband, 1, npix)).astype(np.float32)
+    import dataclasses
     sysm = amp.build_system(jnp.asarray(F), jnp.asarray(bl),
                             jnp.asarray(rms), jnp.asarray(cl),
                             jnp.asarray(data))
+    # the CG loop only needs {F, bl, inv_rms2, cl, tri}: strip data and
+    # inv_rms (3.6 GB at this size) from the loop payload
+    slim = dataclasses.replace(
+        sysm, data=jnp.zeros((nband, 1, 1), jnp.float32),
+        inv_rms=jnp.zeros((nband, 1, 1), jnp.float32))
     plan = sht.get_plan(nside, lmax, dtype="float32", tables=False,
                         legendre_backend="pallas")
     spec, enc = transfer.encode((plan, sysm))
+    spec_s, enc_s = transfer.encode((plan, slim))
 enc_d = jax.device_put(enc, dev)
+enc_sd = jax.device_put(enc_s, dev)
+
+BC = 3   # bands per group: 9-band pixel temporaries exceed HBM batched
 
 
 @jax.jit
 def _init(e):
     plan, sysm = transfer.decode(spec, e)
-    rhs = amp.compute_rhs(sysm, plan, jax.random.PRNGKey(1))
+    rhs = amp.compute_rhs(sysm, plan, jax.random.PRNGKey(1), band_chunk=BC)
     M_inv = amp.build_preconditioner(sysm, plan)
     z0 = M_inv(rhs)
     bnorm = jnp.sqrt(alm_dot(rhs, rhs))
@@ -71,9 +81,9 @@ def _init(e):
 
 @partial(jax.jit, static_argnums=2)
 def _chunk(e, st, n):
-    plan, sysm = transfer.decode(spec, e)
+    plan, sysm = transfer.decode(spec_s, e)
     M_inv = amp.build_preconditioner(sysm, plan)
-    A = partial(amp.apply_A, sysm, plan)
+    A = partial(amp.apply_A, sysm, plan, band_chunk=BC)
     x, r, z, p, rz, bnorm = st
 
     def body(i, s):
@@ -94,10 +104,11 @@ def _chunk(e, st, n):
 
 t0 = time.perf_counter()
 st = _init(enc_d)
+del enc_d, enc   # free the RHS-only payload (data + inv_rms) on device
 t_init = None
 done = 0
 while done < maxiter:
-    st, rel = _chunk(enc_d, st, chunk)
+    st, rel = _chunk(enc_sd, st, chunk)
     done += chunk
     now = time.perf_counter()
     if t_init is None:

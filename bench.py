@@ -277,12 +277,33 @@ def inner():
                           spin2=spin2, n_hi=n_hi, plan_kwargs=plan_kwargs)
     kind = "pol-SHT (E,B<->Q,U)" if spin2 else \
         ("OTF-Pallas SHT" if mode == "otf1024" else "SHT")
+    # opcnt-style accounting (libsharp reports time+opcnt per execute,
+    # sharp.f90:91-92; SURVEY §5.1 asks to keep this as a design
+    # feature). Model FLOP counts per SINGLE transform:
+    #   table path: dense Legendre contraction, complex alm x real
+    #     Lambda over (nh rings, nl, nm) = 8*nh*nl*nm real FLOP;
+    #   OTF Pallas: VPU recurrence ~6 FLOP per (ring, l>=m, m) triple +
+    #     parity-split accumulation 4*batch FLOP per triple, amortized
+    #     over the batch (ROADMAP roofline analysis).
+    nh = 2 * nside
+    nl = lmax + 1
+    tri = nl * (nl + 2) // 2
+    if mode == "otf1024":
+        flop_per_t = nh * tri * (6.0 / batch + 4.0)
+        roof = ("VPU-bound; MXU accumulation is the remaining lever "
+                "(ROADMAP.md)")
+    else:
+        flop_per_t = 8.0 * nh * nl * nl
+        roof = "table-bandwidth/MXU-bound"
     print(json.dumps({
         "metric": f"{kind} transforms/sec/chip (roundtrip, "
                   f"nside={nside}, lmax={lmax}, batch={batch}, {dtype}, "
                   f"sync={sync}, device={where})",
         "value": round(shts, 2),
         "unit": "transforms/s",
+        "opcnt": {"model_flop_per_transform": flop_per_t,
+                  "achieved_flop_per_s": round(shts * flop_per_t, 1),
+                  "regime": roof},
     }))
 
 

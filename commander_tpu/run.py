@@ -1246,6 +1246,13 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     timer = Timer()
     status.update("init start")
 
+    if any(d.platform != "cpu" for d in jax.devices()):
+        # accelerator session: pin host-side model building and loop
+        # bookkeeping to CPU — restricted runtimes (axon relay) cannot
+        # transfer int/complex arrays, so only the explicitly encoded
+        # fast-path jits (fg_step_enc below) run on the accelerator
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
     timer.start("init")
     (plan, sys, diffuse, bps, cl_cfg, cl0, meta, truth, pcfgs,
      ts, ps, cl_cfgs) = build_model(
@@ -1562,6 +1569,58 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         th_vec = jnp.asarray(
             [float(np.mean(thetas[s.ci][s.which])) for s in fg_slots])
 
+    # --- accelerator execution of the fast path (the "transfer shim"):
+    # on runtimes whose host<->device transfers only support f32/f64
+    # (the axon TPU relay), the (plan, system) payload is float-encoded
+    # once, the GibbsState is carried BETWEEN iterations as encoded
+    # device buffers, and per-iteration readbacks are f32 scalars; alms
+    # come back as (re, im) pairs only at thinning points. Host-side
+    # model building stays on CPU (run() pins jax_default_device).
+    accel = [d for d in jax.devices() if d.platform != "cpu"]
+    tpu_mode = (use_fullgibbs
+                and (bool(accel) or fullgibbs == "encoded")
+                and dtype == "float32"
+                and not any(b.sample_gain for b in cfg.bands)
+                and not cfg.output_chisq_map
+                and not cfg.output_residual_maps)
+    if tpu_mode:
+        from .utils import transfer as _tr
+        dev0 = accel[0] if accel else jax.devices()[0]
+        spec_sp, enc_sp = _tr.encode((sys, plan))
+        enc_sp = jax.device_put(enc_sp, dev0)
+        spec_st, enc_st = _tr.encode((state,))
+        enc_st = jax.device_put(enc_st, dev0)
+
+        # per-iteration keys derive in-jit from the iteration index (the
+        # uint32 key itself cannot cross this runtime's f32/f64-only
+        # transfer boundary); the base key embeds as an HLO constant
+        _fg_base_key = np.asarray(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.base_seed + 77),
+                               chain))
+
+        @jax.jit
+        def fg_step_enc(e_sp, e_st, th, it_f):
+            s, p = _tr.decode(spec_sp, e_sp)
+            (st,) = _tr.decode(spec_st, e_st)
+            k = jax.random.fold_in(jnp.asarray(_fg_base_key),
+                                   it_f.astype(jnp.int32))
+            st, th2, s2 = tpu_gibbs_mod.full_gibbs_step(
+                gcfg, _dt, _bt, fg_slots, s, p, st, th, k)
+            from .sampling.chisq import compute_residual as _cr
+            r = _cr(s2, p, st.a)
+            chi = jnp.sum(jnp.square(r) * s2.inv_rms2)
+            return (_tr.encode_like(spec_st, (st,)),
+                    th2.astype(jnp.float32), chi.astype(jnp.float32),
+                    st.cg_iters.astype(jnp.float32),
+                    st.cg_relres.astype(jnp.float32))
+
+        @jax.jit
+        def read_state_enc(e_st):
+            (st,) = _tr.decode(spec_st, e_st)
+            return (st.a.real.astype(jnp.float32),
+                    st.a.imag.astype(jnp.float32),
+                    st.cl_bins.astype(jnp.float32))
+
     for it in range(first + 1, niter + 1):
         # --- TOD step per band: gain/ncorr/PSD + new map and rms
         # (process_TOD, commander.f90:274-399) ---
@@ -1728,7 +1787,21 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             status.update(f"iter {it} tod done")
 
         timer.start("gibbs")
-        if use_fullgibbs:
+        tpu_stats = None
+        if tpu_mode:
+            # encoded-carry accelerator step: the per-iter PRNG key is
+            # derived in-jit from the iteration index (uint32 keys
+            # cannot cross this runtime's transfer boundary)
+            enc_st, th_vec, chi_d, it_d, rr_d = fg_step_enc(
+                enc_sp, enc_st, th_vec, jnp.float32(it))
+            tpu_stats = (float(np.asarray(chi_d)),
+                         int(np.asarray(it_d)), float(np.asarray(rr_d)))
+            th_host = np.asarray(th_vec)
+            for i, sl in enumerate(fg_slots):
+                row = list(thetas[sl.ci])
+                row[sl.which] = float(th_host[i])
+                thetas[sl.ci] = tuple(row)
+        elif use_fullgibbs:
             # one jit: mixing + amplitude CG + Cl + spectral indices
             skey, fk = jax.random.split(skey)
             state, th_vec, sys = fg_step(sys, plan, state, th_vec, fk)
@@ -1903,15 +1976,26 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                         prior_rms=pr,
                         optimize=(cfg.operation == "optimize")))
 
-        chi2 = float(chisq_fn(sys, plan, state))
-        status.update(f"iter {it} cg={int(state.cg_iters)} "
-                      f"relres={float(state.cg_relres):.2e} chisq={chi2:.1f}")
+        if tpu_stats is not None:
+            chi2, cg_it, cg_rr = tpu_stats
+        else:
+            chi2 = float(chisq_fn(sys, plan, state))
+            cg_it, cg_rr = int(state.cg_iters), float(state.cg_relres)
+        status.update(f"iter {it} cg={cg_it} "
+                      f"relres={cg_rr:.2e} chisq={chi2:.1f}")
         if verbose:
-            print(f"iter {it:5d}  chisq {chi2:14.1f}  cg {int(state.cg_iters):3d} "
-                  f"({float(state.cg_relres):.1e})  {dt:6.2f}s", flush=True)
+            print(f"iter {it:5d}  chisq {chi2:14.1f}  cg {cg_it:3d} "
+                  f"({cg_rr:.1e})  {dt:6.2f}s", flush=True)
         if it % cfg.thinning == 0:
             timer.start("output")
-            a_np = np.asarray(jnp.stack([state.a.real, state.a.imag]))
+            if tpu_mode:
+                a_re, a_im, clb32 = read_state_enc(enc_st)
+                a_np = np.stack([np.asarray(a_re), np.asarray(a_im)])
+                state = dataclasses.replace(
+                    state, a=jnp.asarray(a_np[0] + 1j * a_np[1]),
+                    cl_bins=jnp.asarray(np.asarray(clb32)))
+            else:
+                a_np = np.asarray(jnp.stack([state.a.real, state.a.imag]))
             a_c = a_np[0] + 1j * a_np[1]
             # per-sample FITS products (comm_output_mod output_FITS_sample;
             # OUTPUT_CHISQ_MAP / OUTPUT_RESIDUAL_MAPS of the reference)

@@ -111,3 +111,20 @@ def test_fallback_on_ineligible_config(tmp_path, monkeypatch):
     cfg = _cfg(tmp_path, "nospec", specind=False)
     run(cfg, synthetic=True, niter=2, verbose=False)
     assert calls["n"] == 0
+
+
+def test_encoded_accelerator_path_on_cpu(tmp_path):
+    """fullgibbs='encoded' exercises the accelerator transfer-shim loop
+    (float-encoded state carry, in-jit key derivation, (re, im) alm
+    readback) on the CPU backend; results agree statistically with the
+    plain jitted path."""
+    cfg = _cfg(tmp_path, "enc")
+    _, chain_path = run(cfg, synthetic=True, niter=6, verbose=False,
+                        dtype="float32", fullgibbs="encoded")
+    from commander_tpu.io.chain import ChainFile
+    with ChainFile(chain_path, "r") as ch:
+        s = ch.read_sample(6)
+    beta = float(np.asarray(s["comps"]["synch"]["specind"])[0])
+    assert -3.6 < beta < -2.4
+    assert np.isfinite(np.asarray(s["comps"]["cmb"]["alm"])).all()
+    assert np.isfinite(np.asarray(s["comps"]["cmb"]["Dl"])).all()
