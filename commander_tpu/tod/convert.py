@@ -118,6 +118,76 @@ def convert_l2_to_archive(od_files, dets, nside: int, fsamp: float,
 
 
 # ---------------------------------------------------------------------------
+# LiteBIRD / genesys-sim converter (todscripts/litebird/litebirdtohdf5.py)
+# ---------------------------------------------------------------------------
+
+def convert_litebird_to_archive(det_files, dets, nside: int, fsamp: float,
+                                out_dir: str, band_label: str = "LFT_40",
+                                chunk_seconds: float = 3600.0,
+                                npsi: int = 4096, polang=None, mbang=None,
+                                vsun=None):
+    """LiteBIRD-style per-detector simulation streams -> archives.
+
+    Counterpart of todscripts/litebird/litebirdtohdf5.py: one HDF per
+    detector holding full-segment {theta, phi, psi, tod} streams
+    (:51-66), cut into fixed chunk_seconds pointing periods (:21-23),
+    angles pixelized, per-detector polarization angles recorded in
+    /common/polang (:31-36), everything differential+huffman encoded.
+
+    det_files: {det_name: path} per-detector HDFs with datasets
+    theta/phi/psi/tod (full segment, equal lengths); or {det_name: dict}
+    with the same keys as arrays (tests). Returns the filelist path."""
+    import h5py
+
+    os.makedirs(out_dir, exist_ok=True)
+    streams = {}
+    for d in dets:
+        src = det_files[d]
+        if isinstance(src, dict):
+            streams[d] = {k: np.asarray(src[k])
+                          for k in ("theta", "phi", "psi", "tod")}
+        else:
+            with h5py.File(src, "r") as f:
+                streams[d] = {k: np.asarray(f[k])
+                              for k in ("theta", "phi", "psi", "tod")}
+    n = min(len(s["tod"]) for s in streams.values())
+    nsamp = max(int(chunk_seconds * fsamp), 1)
+    nchunk = max(n // nsamp, 1)
+    scans = []
+    from ..sphere.healpix import pix2ang_ring
+    th_all, ph_all = pix2ang_ring(nside)
+    entries = []
+    name = f"{band_label}_arch.h5"
+    for c in range(nchunk):
+        sl = slice(c * nsamp, min((c + 1) * nsamp, n))
+        nt = sl.stop - sl.start
+        nd = len(dets)
+        rec = dict(pix=np.zeros((nd, nt), np.int64),
+                   psi=np.zeros((nd, nt)),
+                   flag=np.zeros((nd, nt), np.int64),
+                   tod=np.zeros((nd, nt)),
+                   vsun=np.asarray(vsun if vsun is not None
+                                   else np.zeros(3)))
+        for di, d in enumerate(dets):
+            s = streams[d]
+            rec["pix"][di] = _ang2pix(nside, s["theta"][sl], s["phi"][sl])
+            rec["psi"][di] = np.mod(s["psi"][sl], 2 * np.pi)
+            rec["tod"][di] = s["tod"][sl]
+        scans.append(rec)
+        p0 = int(rec["pix"][0, 0])
+        entries.append((c + 1, name, nt, float(th_all[p0]),
+                        float(ph_all[p0])))
+    write_archive(os.path.join(out_dir, name), nside, fsamp, list(dets),
+                  scans, npsi=npsi, polang=polang, mbang=mbang)
+    flist = os.path.join(out_dir, f"filelist_{band_label}.txt")
+    with open(flist, "w") as fh:
+        fh.write(f"{len(entries)}\n")
+        for sid, nm, w, th, ph in entries:
+            fh.write(f"{sid} {nm} {w:.1f} {th:.5f} {ph:.5f}\n")
+    return flist
+
+
+# ---------------------------------------------------------------------------
 # WMAP differential-horn converter (todscripts/wmap/fits_to_h5.py)
 # ---------------------------------------------------------------------------
 

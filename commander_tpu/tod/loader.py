@@ -24,17 +24,22 @@ from .model import TodBlock, TodState
 
 
 def write_archive(path: str, nside: int, fsamp: float, det_names: list,
-                  scans: list, npsi: int = 4096):
+                  scans: list, npsi: int = 4096, polang=None, mbang=None):
     """scans: list of dicts with keys
     {'pix' (Nd, Nt), 'psi' (Nd, Nt), 'flag' (Nd, Nt), 'tod' (Nd, Nt),
-     'vsun' (3,), optional 'scalars' (Nd, 4)}."""
+     'vsun' (3,), optional 'scalars' (Nd, 4)}. polang/mbang: per-det
+    polarization / main-beam angles (radians; litebirdtohdf5.py:31-36)."""
     with h5py.File(path, "w") as f:
         f.create_dataset("common/fsamp", data=fsamp)
         f.create_dataset("common/nside", data=[nside])
         f.create_dataset("common/npsi", data=[npsi])
         f.create_dataset("common/det", data=np.bytes_(", ".join(det_names)))
-        f.create_dataset("common/polang", data=np.zeros(len(det_names)))
-        f.create_dataset("common/mbang", data=np.zeros(len(det_names)))
+        f.create_dataset("common/polang",
+                         data=np.zeros(len(det_names)) if polang is None
+                         else np.asarray(polang, np.float64))
+        f.create_dataset("common/mbang",
+                         data=np.zeros(len(det_names)) if mbang is None
+                         else np.asarray(mbang, np.float64))
         f.create_dataset("common/pids", data=np.arange(1, len(scans) + 1))
         for i, sc in enumerate(scans):
             pid = f"{i + 1:06d}"
@@ -99,6 +104,9 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = 0,
         all_dets = [s.strip() for s in
                     f["common/det"][()].decode().split(",")]
         dets = [d for d in all_dets if dets is None or d in dets]
+        sel = [all_dets.index(d) for d in dets]
+        polang = (np.asarray(f["common/polang"])[sel]
+                  if "common/polang" in f else np.zeros(len(dets)))
         pids = sorted(k for k in f.keys() if k.isdigit())
         if scan_ids is not None:
             want = {int(s) for s in scan_ids}
@@ -149,7 +157,8 @@ def read_archive(path: str, flag_mask: int = 0, bad_flag_bits: int = 0,
                      fknee=jnp.asarray(scal[..., 2]),
                      alpha=jnp.asarray(scal[..., 3]),
                      n_corr=jnp.zeros_like(block.tod))
-    meta = dict(nside=nside, npsi=npsi, dets=dets, fsamp=fsamp)
+    meta = dict(nside=nside, npsi=npsi, dets=dets, fsamp=fsamp,
+                polang=polang)
     return block, state, meta
 
 
