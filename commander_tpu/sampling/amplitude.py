@@ -530,7 +530,8 @@ def sample_amplitudes(sys: AmplitudeSystem, plan, key=None, x0=None,
 
 def sample_amplitudes_chunked(sys: AmplitudeSystem, plan, key=None,
                               tol=1e-8, maxiter=300, chunk=10,
-                              precond: str = "diagonal"):
+                              precond: str = "diagonal",
+                              band_chunk: int = 0):
     """Production CR draw for LARGE plans: the same PCG iteration as
     sample_amplitudes but executed `chunk` iterations per jit call with
     the (x, r, z, p, rz) state carried across calls.
@@ -546,7 +547,7 @@ def sample_amplitudes_chunked(sys: AmplitudeSystem, plan, key=None,
 
     @jax.jit
     def _init(sys, plan, key):
-        rhs = compute_rhs(sys, plan, key)
+        rhs = compute_rhs(sys, plan, key, band_chunk=band_chunk)
         M_inv = _PRECONDS[precond](sys, plan)
         z0 = M_inv(rhs)
         bnorm = jnp.sqrt(alm_dot(rhs, rhs))
@@ -555,7 +556,7 @@ def sample_amplitudes_chunked(sys: AmplitudeSystem, plan, key=None,
     @partial(jax.jit, static_argnums=3)
     def _chunk(sys, plan, st, n):
         M_inv = _PRECONDS[precond](sys, plan)
-        A = partial(apply_A, sys, plan)
+        A = partial(apply_A, sys, plan, band_chunk=band_chunk)
         x, r, z, p, rz, bnorm = st
 
         def body(i, s):
