@@ -64,7 +64,9 @@ with jax.default_device(cpu):
     spec, enc = transfer.encode((plan, sysm))
     spec_s, enc_s = transfer.encode((plan, slim))
 enc_d = jax.device_put(enc, dev)
-enc_sd = jax.device_put(enc_s, dev)
+# the slim payload is staged only AFTER _init completes and the full
+# payload (data + inv_rms, 3.6 GB) is freed — both resident at once
+# plus the CG chunk's temporaries exhausted HBM
 
 BC = 3   # bands per group: 9-band pixel temporaries exceed HBM batched
 
@@ -104,7 +106,13 @@ def _chunk(e, st, n):
 
 t0 = time.perf_counter()
 st = _init(enc_d)
+bnorm_h = float(np.asarray(st[5]))       # force _init completion
+print(f"init done: |rhs| = {bnorm_h:.4e}  "
+      f"({time.perf_counter() - t0:.0f}s)", flush=True)
 del enc_d, enc   # free the RHS-only payload (data + inv_rms) on device
+import gc
+gc.collect()
+enc_sd = jax.device_put(enc_s, dev)
 t_init = None
 done = 0
 while done < maxiter:
