@@ -61,19 +61,25 @@ with jax.default_device(cpu):
         inv_rms=jnp.zeros((nband, 1, 1), jnp.float32))
     plan = sht.get_plan(nside, lmax, dtype="float32", tables=False,
                         legendre_backend="pallas")
-    spec, enc = transfer.encode((plan, sysm))
+    # two payloads: the slim solve payload (F, bl, inv_rms2, cl, plan)
+    # stays resident for the whole run; (data, inv_rms) visit the device
+    # only for the RHS and are freed before the CG chunks start
     spec_s, enc_s = transfer.encode((plan, slim))
-enc_d = jax.device_put(enc, dev)
-# the slim payload is staged only AFTER _init completes and the full
-# payload (data + inv_rms, 3.6 GB) is freed — both resident at once
-# plus the CG chunk's temporaries exhausted HBM
+    spec_d, enc_dat = transfer.encode((sysm.data, sysm.inv_rms))
+enc_sd = jax.device_put(enc_s, dev)
+enc_d = jax.device_put(enc_dat, dev)
 
-BC = 3   # bands per group: 9-band pixel temporaries exceed HBM batched
+BC = 2   # bands per group: 9-band pixel temporaries exceed HBM batched
+
+
+import dataclasses as _dc
 
 
 @jax.jit
-def _init(e):
-    plan, sysm = transfer.decode(spec, e)
+def _init(e_s, e_d):
+    plan, sysm = transfer.decode(spec_s, e_s)
+    data, inv_rms = transfer.decode(spec_d, e_d)
+    sysm = _dc.replace(sysm, data=data, inv_rms=inv_rms)
     rhs = amp.compute_rhs(sysm, plan, jax.random.PRNGKey(1), band_chunk=BC)
     M_inv = amp.build_preconditioner(sysm, plan)
     z0 = M_inv(rhs)
@@ -105,14 +111,13 @@ def _chunk(e, st, n):
 
 
 t0 = time.perf_counter()
-st = _init(enc_d)
+st = _init(enc_sd, enc_d)
 bnorm_h = float(np.asarray(st[5]))       # force _init completion
 print(f"init done: |rhs| = {bnorm_h:.4e}  "
       f"({time.perf_counter() - t0:.0f}s)", flush=True)
-del enc_d, enc   # free the RHS-only payload (data + inv_rms) on device
+del enc_d, enc_dat   # free the RHS-only payload on device
 import gc
 gc.collect()
-enc_sd = jax.device_put(enc_s, dev)
 t_init = None
 done = 0
 while done < maxiter:
