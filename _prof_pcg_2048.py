@@ -69,7 +69,7 @@ with jax.default_device(cpu):
 enc_sd = jax.device_put(enc_s, dev)
 enc_d = jax.device_put(enc_dat, dev)
 
-BC = 2   # bands per group: 9-band pixel temporaries exceed HBM batched
+BC = 3   # bands per group (divides 9: dynamic_slice path, no padded copies)
 
 
 import dataclasses as _dc

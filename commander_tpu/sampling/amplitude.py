@@ -212,24 +212,41 @@ def _band_groups(sys: AmplitudeSystem, bc: int, extra=()):
 
 
 def _bands_normal_chunked(sys: AmplitudeSystem, plan, a, bc: int):
-    """A^T N^-1 A a with bands processed bc at a time via lax.scan.
+    """A^T N^-1 A a with bands processed bc at a time.
 
     The (B, S, P) pixel-space intermediates never exist at the full band
     count — the single-chip HBM lever for nside-2048 multi-band systems
     (BASELINE config 4: 9 bands x 50M pixels of synthesis temporaries
     exceed one v5e's 16 GB when batched; the reference's cr_matmulA loops
-    bands serially for the same reason, comm_cr_mod.f90:843-954)."""
-    G, (Fg, blg, ivg) = _band_groups(sys, bc, extra=(sys.inv_rms2,))
+    bands serially for the same reason, comm_cr_mod.f90:843-954).
+
+    When bc divides B the groups are taken by dynamic_slice inside a
+    fori_loop — NO full-size grouped copies are ever materialized (the
+    padded-reshape variant put another 3x(B,S,P) of HBM temporaries on
+    the device, defeating the point at nside 2048); otherwise the padded
+    lax.scan fallback runs."""
     hi = jax.lax.Precision.HIGHEST
+    B = sys.F.shape[0]
+
+    def one(F_, bl_, iv_, carry):
+        alm_b = jnp.einsum("bcs,cslm->bslm", F_, a,
+                           precision=hi) * bl_[..., None]
+        m = _synth(plan, alm_b) * iv_
+        r_b = _synth_T(plan, m) * bl_[..., None]
+        return carry + jnp.einsum("bcs,bslm->cslm", F_, r_b,
+                                  precision=hi)
+
+    if B % bc == 0:
+        def body(g, carry):
+            sl = lambda t: jax.lax.dynamic_slice_in_dim(t, g * bc, bc, 0)
+            return one(sl(sys.F), sl(sys.bl), sl(sys.inv_rms2), carry)
+        return jax.lax.fori_loop(0, B // bc, body, jnp.zeros_like(a))
+
+    G, (Fg, blg, ivg) = _band_groups(sys, bc, extra=(sys.inv_rms2,))
 
     def body(carry, xs):
         Fg_, blg_, ivg_ = xs
-        alm_b = jnp.einsum("bcs,cslm->bslm", Fg_, a,
-                           precision=hi) * blg_[..., None]
-        m = _synth(plan, alm_b) * ivg_
-        r_b = _synth_T(plan, m) * blg_[..., None]
-        return carry + jnp.einsum("bcs,bslm->cslm", Fg_, r_b,
-                                  precision=hi), None
+        return one(Fg_, blg_, ivg_, carry), None
     r, _ = jax.lax.scan(body, jnp.zeros_like(a), (Fg, blg, ivg))
     return r
 
@@ -269,27 +286,43 @@ def compute_rhs(sys: AmplitudeSystem, plan, key=None, band_chunk: int = 0):
         k1, k2 = jax.random.split(key)
     if band_chunk and sys.F_pix is None and sys.inv_qu is None \
             and sys.F.shape[0] > band_chunk:
-        G, (Fg, blg, iv2g, ivg, dg) = _band_groups(
-            sys, band_chunk, extra=(sys.inv_rms2, sys.inv_rms, sys.data))
         hi = jax.lax.Precision.HIGHEST
         C = sys.cl.shape[0]
+        B = sys.F.shape[0]
         nl, nm = sys.tri.shape
         cdt = jnp.complex128 if sys.data.dtype == jnp.float64 \
             else jnp.complex64
         acc0 = jnp.zeros((C,) + sys.data.shape[1:2] + (nl, nm), cdt)
 
-        def body(carry, xs):
-            Fg_, blg_, iv2_, iv_, d_, g = xs
+        def one(F_, bl_, iv2_, iv_, d_, g, carry):
             w = d_ * iv2_
             if k1 is not None:
                 eta1 = jax.random.normal(jax.random.fold_in(k1, g),
                                          d_.shape, d_.dtype)
                 w = w + iv_ * eta1
-            r_b = _synth_T(plan, w) * blg_[..., None]
-            return carry + jnp.einsum("bcs,bslm->cslm", Fg_, r_b,
-                                      precision=hi), None
-        r, _ = jax.lax.scan(body, acc0,
-                            (Fg, blg, iv2g, ivg, dg, jnp.arange(G)))
+            r_b = _synth_T(plan, w) * bl_[..., None]
+            return carry + jnp.einsum("bcs,bslm->cslm", F_, r_b,
+                                      precision=hi)
+
+        if B % band_chunk == 0:
+            bc = band_chunk
+
+            def body(g, carry):
+                sl = lambda t: jax.lax.dynamic_slice_in_dim(t, g * bc,
+                                                            bc, 0)
+                return one(sl(sys.F), sl(sys.bl), sl(sys.inv_rms2),
+                           sl(sys.inv_rms), sl(sys.data), g, carry)
+            r = jax.lax.fori_loop(0, B // bc, body, acc0)
+        else:
+            G, (Fg, blg, iv2g, ivg, dg) = _band_groups(
+                sys, band_chunk,
+                extra=(sys.inv_rms2, sys.inv_rms, sys.data))
+
+            def body(carry, xs):
+                Fg_, blg_, iv2_, iv_, d_, g = xs
+                return one(Fg_, blg_, iv2_, iv_, d_, g, carry), None
+            r, _ = jax.lax.scan(body, acc0,
+                                (Fg, blg, iv2g, ivg, dg, jnp.arange(G)))
         rhs = _sqrtS(sys, r)
     else:
         w = apply_invN(sys, sys.data)
