@@ -1585,8 +1585,18 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                 and not cfg.output_residual_maps)
     if tpu_mode:
         from .utils import transfer as _tr
+        from .sphere import sht as _sht
         dev0 = accel[0] if accel else jax.devices()[0]
-        spec_sp, enc_sp = _tr.encode((sys, plan))
+        plan_dev = plan
+        if accel and getattr(plan, "lam0", None) is None:
+            # OTF-routed scale (no Legendre table fits): the host plan
+            # keeps the CPU-executable XLA chunked scan for model
+            # building; the DEVICE payload gets the fused Pallas kernel
+            plan_dev = _sht.get_plan(meta["nside"], meta["lmax"],
+                                     dtype=dtype, spin2=pol,
+                                     tables=False,
+                                     legendre_backend="pallas")
+        spec_sp, enc_sp = _tr.encode((sys, plan_dev))
         enc_sp = jax.device_put(enc_sp, dev0)
         spec_st, enc_st = _tr.encode((state,))
         enc_st = jax.device_put(enc_st, dev0)

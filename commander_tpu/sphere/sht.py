@@ -177,7 +177,14 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     if tables is None:
         tables = table_bytes < 2 ** 31
         if not tables and legendre_backend == "xla":
-            legendre_backend = "pallas"
+            # auto-routed OTF plans keep the XLA chunked-scan backend:
+            # it executes correctly on ANY backend (the fused Pallas
+            # kernel would run in interpret mode on CPU — orders of
+            # magnitude slower — and host-side model building runs on
+            # CPU even in accelerator sessions). Performance-critical
+            # device payloads request legendre_backend="pallas"
+            # explicitly (run.py tpu_mode, bench.py, _prof_* drivers).
+            pass
     elif tables and table_bytes >= 2 ** 31 \
             and not os.environ.get("COMMANDER_TPU_ALLOW_BIG_TABLES"):
         raise ValueError(
