@@ -27,7 +27,7 @@ import jax.numpy as jnp
 nband = int(sys.argv[1]) if len(sys.argv) > 1 else 9
 ncomp = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 maxiter = int(sys.argv[3]) if len(sys.argv) > 3 else 60
-chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 cpu = jax.devices("cpu")[0]
 dev = jax.devices()[0]
@@ -87,8 +87,11 @@ def _init(e_s, e_d):
     return (jnp.zeros_like(rhs), rhs, z0, z0, alm_dot(rhs, z0), bnorm)
 
 
-@partial(jax.jit, static_argnums=2)
+@partial(jax.jit, static_argnums=2, donate_argnums=1)
 def _chunk(e, st, n):
+    # st buffers are donated: the six alm-sized CG vectors (x, r, z, p,
+    # rhs-slot, z0-slot) reuse their input buffers for outputs instead
+    # of doubling to ~4.3 GB at this size
     plan, sysm = transfer.decode(spec_s, e)
     M_inv = amp.build_preconditioner(sysm, plan)
     A = partial(amp.apply_A, sysm, plan, band_chunk=BC)
@@ -105,7 +108,14 @@ def _chunk(e, st, n):
         p = z + (rz_new / rz) * p
         return (x, r, z, p, rz_new)
 
-    x, r, z, p, rz = jax.lax.fori_loop(0, n, body, (x, r, z, p, rz))
+    st5 = (x, r, z, p, rz)
+    if n == 1:
+        # inline one iteration: no fori_loop carry double-buffering
+        # (the loop op holds 2x the four alm-sized carries in HBM)
+        st5 = body(0, st5)
+    else:
+        st5 = jax.lax.fori_loop(0, n, body, st5)
+    x, r, z, p, rz = st5
     rel = jnp.sqrt(alm_dot(r, r)) / bnorm
     return (x, r, z, p, rz, bnorm), rel.astype(jnp.float32)
 
