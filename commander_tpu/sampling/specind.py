@@ -149,14 +149,56 @@ def sample_specind_pixel(key, comp: DiffuseComponent, bps, cfg: SpecIndConfig,
     return _cdf_invert(key, lnl, cfg.grid(res.dtype))
 
 
+def _grid_lnL_total(comp, bps, cfg: SpecIndConfig, res, amp_pix,
+                    inv_rms2, theta_other, which: int):
+    """Pixel-summed lnL on the grid: (G,), via lax.map over grid points.
+
+    Equivalent to _grid_lnL_pixel(...).sum(axis=0) but never materializes
+    the (B, P, G) intermediates — at nside 1024 with G=64 those are
+    ~10 GB and exhausted the accelerator in the tutorial-scale driver
+    run; one grid point at a time costs only (B, S, P) temporaries."""
+    grid = cfg.grid(res.dtype)
+    lnl_type = getattr(cfg, "lnl_type", "chisq") or "chisq"
+    P = res.shape[-1]
+    if lnl_type == "prior":
+        return _lnprior(cfg, grid)
+
+    def one(tg):
+        th = tuple(tg if i == which else jnp.asarray(t)
+                   for i, t in enumerate(theta_other))
+        F = jnp.stack([jnp.broadcast_to(
+            jnp.asarray(mixing_element(comp, bp, th)), (P,))
+            for bp in bps])                              # (B, P)
+        if lnl_type in ("ridge", "marginal"):
+            MNd = jnp.einsum("bp,bsp,bsp->p", F, inv_rms2, res)
+            MNM = jnp.einsum("bp,bsp,bp->p", F, inv_rms2, F)
+            lnl_p = jnp.where(MNM > 0,
+                              0.5 * MNd * MNd / jnp.maximum(MNM, 1e-300),
+                              0.0)
+            if lnl_type == "marginal":
+                lnl_p = lnl_p + jnp.where(
+                    MNM > 0, 0.5 * jnp.log(jnp.maximum(MNM, 1e-300)),
+                    0.0)
+            return jnp.sum(lnl_p)
+        model = F[:, None, :] * amp_pix[None]            # (B, S, P)
+        return -0.5 * jnp.sum(inv_rms2 * jnp.square(res - model))
+
+    # Gaussian prior added ONCE to the fullsky total, matching the
+    # reference (comm_nonlin_mod.f90:1998-2015 adds the p_gauss term on
+    # rank 0 only, after the pixel allreduce). The previous
+    # implementation summed the per-pixel broadcast and so applied the
+    # prior npix times — a fidelity bug that over-tightened fullsky
+    # draws by sqrt(npix).
+    return jax.lax.map(one, grid) + _lnprior(cfg, grid)
+
+
 def sample_specind_fullsky(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
                            inv_rms2, theta_other, which: int = 0):
     """Single global draw of one spectral parameter (scalar).
 
     Reference: sampleDiffuseSpecIndFullsky_nonlin (comm_nonlin_mod:1707)."""
-    lnl = _grid_lnL_pixel(comp, bps, cfg, res, amp_pix, inv_rms2,
-                          theta_other, which)
-    lnl_tot = jnp.sum(lnl, axis=0)
+    lnl_tot = _grid_lnL_total(comp, bps, cfg, res, amp_pix, inv_rms2,
+                              theta_other, which)
     return _cdf_invert(key, lnl_tot, cfg.grid(res.dtype))
 
 

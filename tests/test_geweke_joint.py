@@ -67,10 +67,14 @@ def _base():
 
 
 def _stats(cl_bins, a, beta):
+    # beta AND beta^2: the second moment catches conditionals whose
+    # posterior width is wrong even when the mean matches (e.g. a prior
+    # applied once per pixel instead of once per draw)
     return np.concatenate([
         np.log(np.asarray(cl_bins)).ravel(),
         [float(jnp.sum(jnp.abs(a[0]) ** 2)),
-         float(jnp.sum(jnp.abs(a[1]) ** 2)), float(beta)],
+         float(jnp.sum(jnp.abs(a[1]) ** 2)), float(beta),
+         float(beta) ** 2],
     ])
 
 
