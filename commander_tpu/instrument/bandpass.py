@@ -29,7 +29,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.constants import C_LIGHT, GHZ, H_PLANCK, K_BOLTZ, T_CMB
+from ..utils.constants import C_LIGHT, GHZ, H_OVER_K, K_BOLTZ, T_CMB
 from ..model.seds import thermo_to_rj
 
 
@@ -125,7 +125,7 @@ class Bandpass:
 def sz_thermo(nu):
     """Thermal SZ spectral shape in CMB-thermodynamic units:
     f(x) = x (e^x + 1)/(e^x - 1) - 4 (comm_bp_utils.f90 comp_sz_thermo)."""
-    x = H_PLANCK * jnp.asarray(nu) / (K_BOLTZ * T_CMB)
+    x = jnp.asarray(nu) * (H_OVER_K / T_CMB)
     return x * (jnp.exp(x) + 1.0) / jnp.expm1(x) - 4.0
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..sphere import healpix
-from ..utils.constants import H_PLANCK, K_BOLTZ, T_CMB
+from ..utils.constants import H_OVER_K, T_CMB
 
 # Solar dipole (Planck 2018): amplitude 3362.08 uK toward (l, b) =
 # (264.021, 48.253) deg galactic.
@@ -30,7 +30,7 @@ def relquad_template(nside: int, nu: float) -> np.ndarray:
     beta_amp = DIPOLE_AMP_UK / (T_CMB * 1e6)
     n = healpix.pix2vec_ring(nside)
     bn = beta_amp * (n @ dipole_unit_vector())
-    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    x = nu * (H_OVER_K / T_CMB)
     q = x * (np.exp(x) + 1.0) / (2.0 * np.expm1(x))
     # subtract the monopole part of (b.n)^2 to keep a pure quadrupole
     quad = bn**2 - np.mean(bn**2)

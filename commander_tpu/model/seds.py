@@ -19,12 +19,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.constants import C_LIGHT, H_PLANCK, K_BOLTZ, T_CMB
+from ..utils.constants import C_LIGHT, H_OVER_K, H_PLANCK, K_BOLTZ, T_CMB
 
 
 def x_of(nu):
-    """Dimensionless h nu / k T_cmb."""
-    return H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    """Dimensionless h nu / k T_cmb (prescaled h/k: see constants.H_OVER_K
+    for the float32 XLA-reassociation underflow this avoids)."""
+    return nu * (H_OVER_K / T_CMB)
 
 
 def thermo_to_rj(nu):
@@ -56,8 +57,8 @@ def sed_mbb(nu, nu_ref, beta, T_d):
     (comm_MBB_comp_mod.f90 evalSED):
         S = (nu/nu0)^(beta+1) * (exp(h nu0/k T)-1)/(exp(h nu/k T)-1).
     """
-    x0 = H_PLANCK * nu_ref / (K_BOLTZ * T_d)
-    x = H_PLANCK * nu / (K_BOLTZ * T_d)
+    x0 = H_OVER_K * nu_ref / T_d
+    x = H_OVER_K * nu / T_d
     return jnp.exp((beta + 1.0) * jnp.log(nu / nu_ref)) * jnp.expm1(x0) / jnp.expm1(x)
 
 
@@ -75,7 +76,7 @@ def sed_freefree(nu, nu_ref, T_e):
     (the exponential factors are ~1 at radio frequencies; kept for parity).
     """
     g = _gaunt(nu, T_e) / _gaunt(nu_ref, T_e)
-    expf = jnp.exp(-H_PLANCK * (nu - nu_ref) / (K_BOLTZ * T_e))
+    expf = jnp.exp(-H_OVER_K * (nu - nu_ref) / T_e)
     return g * jnp.square(nu_ref / nu) * expf
 
 

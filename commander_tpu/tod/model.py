@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.constants import C_LIGHT, H_PLANCK, K_BOLTZ, T_CMB
+from ..utils.constants import C_LIGHT, H_OVER_K, T_CMB
 
 
 @jax.tree_util.register_dataclass
@@ -103,7 +103,7 @@ def orbital_dipole(vsun, pix_vec, nu: float, pix):
     beta = vsun / C_LIGHT                                  # (Ns, 3)
     n = pix_vec[pix]                                       # (Ns, Nd, Nt, 3)
     b_dot_n = jnp.einsum("sk,sdtk->sdt", beta, n)
-    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    x = nu * (H_OVER_K / T_CMB)
     q = x * (jnp.exp(x) + 1.0) / (2.0 * jnp.expm1(x))      # freq-dep quad factor
     return (T_CMB * 1e6) * (b_dot_n + q * b_dot_n**2)
 
@@ -159,7 +159,7 @@ def orbital_dipole_4pi(vsun, theta_pix, phi_pix, psi, pix, moments,
     ph = phi_pix[pix]
     R = _euler_zyz(-psi, -th, -ph)                         # (Ns,Nd,Nt,3,3)
     vn = jnp.einsum("sdtjk,sk->sdtj", R, vsun / C_LIGHT)
-    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    x = nu * (H_OVER_K / T_CMB)
     q = x * (jnp.exp(x) + 1.0) / (2.0 * jnp.expm1(x))
     lin = jnp.einsum("sdtj,j->sdt", vn, S1)
     quad = jnp.einsum("sdtj,jk,sdtk->sdt", vn, S2, vn)

@@ -19,7 +19,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.constants import C_LIGHT, H_PLANCK, K_BOLTZ
+from ..utils.constants import C_LIGHT, H_OVER_K, H_PLANCK, K_BOLTZ
 
 AU = 1.495978707e11  # m
 
@@ -108,8 +108,10 @@ class KelsallRing:
 
 def _planck_MJysr(nu, T):
     """Blackbody intensity in MJy/sr."""
-    x = H_PLANCK * nu / (K_BOLTZ * jnp.maximum(T, 1.0))
-    B = 2.0 * H_PLANCK * nu**3 / C_LIGHT**2 / jnp.expm1(x)   # W/m^2/Hz/sr
+    x = nu * H_OVER_K / jnp.maximum(T, 1.0)
+    # grouped so no f32 intermediate under/overflows even if XLA
+    # reassociates (see constants.H_OVER_K): h*nu ~ 8e-21, (nu/c)^2 ~ 1e9
+    B = 2.0 * (H_PLANCK * nu) * jnp.square(nu / C_LIGHT) / jnp.expm1(x)
     return B * 1e20
 
 
@@ -214,6 +216,6 @@ def mjysr_to_uk_rj(nu: float) -> float:
 def mjysr_to_uk_cmb(nu: float) -> float:
     """MJy/sr -> uK_CMB at frequency nu [Hz] (dB/dT at T_CMB)."""
     from ..utils.constants import T_CMB
-    x = H_PLANCK * nu / (K_BOLTZ * T_CMB)
+    x = nu * (H_OVER_K / T_CMB)
     g = np.expm1(x) ** 2 / (x * x * np.exp(x))
     return mjysr_to_uk_rj(nu) * g
