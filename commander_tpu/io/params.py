@@ -193,6 +193,8 @@ class RunConfig:
     comps: list
     smoothing_scales: list = dataclasses.field(default_factory=list)
     output_input_model: bool = False      # OUTPUT_INPUT_MODEL
+    output_debug_seds: bool = False       # OUTPUT_DEBUG_SEDS
+    output_cg_freq: int = 0               # OUTPUT_EVERY_NTH_CG_ITERATION
     almsamp_pixreg: bool = False          # ALMSAMP_PIXREG
     init_chain: 'Optional[str]' = None    # INIT_CHAIN / INIT_CHAIN01 ('file:samp')
     resample_cmb: bool = False            # RESAMPLE_CMB
@@ -393,6 +395,9 @@ def lower_params(p: Params) -> RunConfig:
         resamp_hard_gain_nth=int(
             p.get("NUMITER_RESAMPLE_HARD_GAIN_PRIORS", 0) or 0),
         output_input_model=bool(p.get("OUTPUT_INPUT_MODEL", False)),
+        output_debug_seds=bool(p.get("OUTPUT_DEBUG_SEDS", False)),
+        output_cg_freq=int(p.get("OUTPUT_EVERY_NTH_CG_ITERATION", 0)
+                           or 0),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),
         init_chain=(lambda v: None if v is None or str(v).lower() == "none"
                     else str(v))(p.get("INIT_CHAIN",

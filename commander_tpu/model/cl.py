@@ -182,6 +182,48 @@ def sigma_ell(alm: jnp.ndarray, lmax: int) -> jnp.ndarray:
     return power / (2.0 * ell + 1.0)
 
 
+def sigma_ell_spectra(alm: jnp.ndarray, lmax: int) -> jnp.ndarray:
+    """Full empirical (cross-)spectra in the reference's nspec ordering.
+
+    alm (nmaps, lmax+1, mmax+1) -> (nspec, lmax+1) with nspec = 1 (TT)
+    for temperature-only, 6 (TT, TE, TB, EE, EB, BB) for nmaps = 3 —
+    the column order of write_sigma_l (comm_Cl_mod.f90:1412-1437) and
+    of comm_map getSigmaL's vectorized upper triangle
+    (comm_map_mod.f90:1302-1351)."""
+    nmaps = alm.shape[-3]
+    nm = alm.shape[-1]
+    eps = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((nm - 1,))])
+    ell = jnp.arange(lmax + 1, dtype=jnp.result_type(alm.real))
+    rows = []
+    for i in range(nmaps):
+        for j in range(i, nmaps):
+            power = jnp.sum(
+                eps * (alm[..., i, :, :]
+                       * jnp.conj(alm[..., j, :, :])).real, axis=-1)
+            rows.append(power / (2.0 * ell + 1.0))
+    return jnp.stack(rows, axis=0)
+
+
+def write_sigma_l(path: str, sigma_l, lmax: int) -> None:
+    """Write sigma_l to an ASCII .dat in the reference's exact format:
+    Dl = sigma_l * l(l+1)/2pi rows, with the reference's column header
+    (write_sigma_l, comm_Cl_mod.f90:1412-1437)."""
+    import numpy as np
+    sig = np.asarray(sigma_l, np.float64)
+    nspec = sig.shape[0]
+    ell = np.arange(lmax + 1, dtype=np.float64)
+    dl = sig * (ell * (ell + 1.0) / (2.0 * np.pi))
+    with open(path, "w") as f:
+        if nspec == 1:
+            f.write(" # Columns are {l, Dl_TT}\n")
+        else:
+            f.write(" # Columns are {l, Dl_TT, Dl_TE, Dl_TB, Dl_EE, "
+                    "Dl_EB, Dl_BB}\n")
+        for l in range(lmax + 1):
+            f.write("%6d" % l + "".join("%16.8e" % v for v in dl[:, l])
+                    + "\n")
+
+
 def sample_cl_binned_invgamma(key, cfg: ClModelConfig, alm: jnp.ndarray,
                               alpha0: float = -1.0, beta0: float = 0.0,
                               prev_bins=None):

@@ -564,7 +564,8 @@ def sample_amplitudes(sys: AmplitudeSystem, plan, key=None, x0=None,
 def sample_amplitudes_chunked(sys: AmplitudeSystem, plan, key=None,
                               tol=1e-8, maxiter=300, chunk=10,
                               precond: str = "diagonal",
-                              band_chunk: int = 0):
+                              band_chunk: int = 0,
+                              dump_every: int = 0, dump_fn=None):
     """Production CR draw for LARGE plans: the same PCG iteration as
     sample_amplitudes but executed `chunk` iterations per jit call with
     the (x, r, z, p, rz) state carried across calls.
@@ -612,8 +613,18 @@ def sample_amplitudes_chunked(sys: AmplitudeSystem, plan, key=None,
     rel = jnp.asarray(jnp.inf)
     while iters < maxiter:
         n = min(chunk, maxiter - iters)
+        if dump_every > 0:
+            # align chunk boundaries to the dump cadence so the dumped
+            # solution is exactly the every-Nth-iteration state
+            # (OUTPUT_EVERY_NTH_CG_ITERATION, comm_cr_mod.f90:275-321)
+            n = min(n, dump_every - (iters % dump_every) or dump_every)
         st, rel = _chunk(sys, plan, st, n)
         iters += n
+        if dump_every > 0 and dump_fn is not None \
+                and iters % dump_every == 0:
+            # the reference dumps sqrt(S)-scaled amplitudes (the sample
+            # as the components would hold it), not the CG variable x
+            dump_fn(iters, _sqrtS(sys, st[0]))
         if float(np.asarray(rel)) <= tol:
             break
     x = st[0]

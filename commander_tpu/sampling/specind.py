@@ -58,12 +58,23 @@ def _lnprior(cfg: SpecIndConfig, grid):
 
 
 def _grid_lnL_pixel(comp: DiffuseComponent, bps: Sequence[Bandpass], cfg,
-                    res, amp_pix, inv_rms2, theta_other, which: int):
+                    res, amp_pix, inv_rms2, theta_other, which: int,
+                    amp_band=None):
     """lnL on the grid for every pixel: (P, G).
 
     res: (B, S, P) residual incl. this comp; amp_pix: (S, P) comp amplitude
-    map; inv_rms2: (B, S, P); theta_other: full theta tuple (the sampled slot
-    `which` is replaced by grid values).
+    map; inv_rms2: (B, S, P); theta_other: full theta tuple (the sampled
+    slot `which` is replaced by grid values).
+
+    amp_band (optional): (B, S, P) PER-BAND amplitude maps — the
+    component projected through each band's beam, Y(b_l a) — for
+    beam-consistent evaluation (the reference removes beam mismatch by
+    smoothing everything to a common beam, comm_nonlin_mod.f90:977-995
+    res_smooth; modelling the component THROUGH the band beam is the
+    equivalent exact form for the chisq lnL). The chisq path uses
+    amp_band directly; ridge/marginal scale their band templates by the
+    beamed/common shape ratio (reducing to the reference form when all
+    beams agree).
     """
     grid = cfg.grid(res.dtype)
     P, G = res.shape[-1], grid.shape[0]
@@ -86,6 +97,14 @@ def _grid_lnL_pixel(comp: DiffuseComponent, bps: Sequence[Bandpass], cfg,
                    for i, t in enumerate(theta_other))
         Fg.append(jnp.broadcast_to(mixing_element(comp, bp, th), (P, G)))
     Fg = jnp.stack(Fg)                                   # (B, P, G)
+    if lnl_type in ("ridge", "marginal") and amp_band is not None:
+        # beam-consistent template: scale each band's mixing column by
+        # the beamed/common amplitude shape ratio (1 where beams agree)
+        ratio = jnp.where(jnp.abs(amp_pix[None, 0]) > 1e-30,
+                          amp_band[:, 0] / jnp.where(
+                              jnp.abs(amp_pix[None, 0]) > 1e-30,
+                              amp_pix[None, 0], 1.0), 1.0)   # (B, P)
+        Fg = Fg * ratio[..., None]
     if lnl_type in ("ridge", "marginal"):
         # amplitude-marginalized pixel likelihood over the flattened
         # (band, Stokes) axis with diagonal noise
@@ -104,9 +123,13 @@ def _grid_lnL_pixel(comp: DiffuseComponent, bps: Sequence[Bandpass], cfg,
                                   0.5 * jnp.log(jnp.maximum(MNM, 1e-300)),
                                   0.0)
     else:
-        # model_bspg = F_bpg * a_sp ; chi2 over b,s
+        # model_bspg = F_bpg * a_{(b)sp} ; chi2 over b,s — amp_band
+        # carries the per-band beamed amplitude when beams differ
         r = res[..., None]                               # (B,S,P,1)
-        model = Fg[:, None, :, :] * amp_pix[None, :, :, None]
+        if amp_band is not None:
+            model = Fg[:, None, :, :] * amp_band[..., None]
+        else:
+            model = Fg[:, None, :, :] * amp_pix[None, :, :, None]
         lnl = -0.5 * jnp.sum(inv_rms2[..., None] * jnp.square(r - model),
                              axis=(0, 1))
     return lnl + _lnprior(cfg, grid)[None, :]            # (P, G)
@@ -138,19 +161,21 @@ def _cdf_invert(key, lnl, grid):
 
 
 def sample_specind_pixel(key, comp: DiffuseComponent, bps, cfg: SpecIndConfig,
-                         res, amp_pix, inv_rms2, theta_other, which: int = 0):
+                         res, amp_pix, inv_rms2, theta_other, which: int = 0,
+                         amp_band=None):
     """Per-pixel draw of one spectral parameter: returns (P,) theta map.
 
     Reference: sampleDiffuseSpecIndSinglePix_nonlin (comm_nonlin_mod:1347)
-    with lnL_type='chisq' (+ optional Gaussian prior).
+    with lnL_type='chisq' (+ optional Gaussian prior). amp_band: see
+    _grid_lnL_pixel (beam-consistent per-band amplitude maps).
     """
     lnl = _grid_lnL_pixel(comp, bps, cfg, res, amp_pix, inv_rms2,
-                          theta_other, which)
+                          theta_other, which, amp_band=amp_band)
     return _cdf_invert(key, lnl, cfg.grid(res.dtype))
 
 
 def _grid_lnL_total(comp, bps, cfg: SpecIndConfig, res, amp_pix,
-                    inv_rms2, theta_other, which: int):
+                    inv_rms2, theta_other, which: int, amp_band=None):
     """Pixel-summed lnL on the grid: (G,), via lax.map over grid points.
 
     Equivalent to _grid_lnL_pixel(...).sum(axis=0) but never materializes
@@ -180,7 +205,10 @@ def _grid_lnL_total(comp, bps, cfg: SpecIndConfig, res, amp_pix,
                     MNM > 0, 0.5 * jnp.log(jnp.maximum(MNM, 1e-300)),
                     0.0)
             return jnp.sum(lnl_p)
-        model = F[:, None, :] * amp_pix[None]            # (B, S, P)
+        if amp_pix.ndim == 3:                            # (B, S, P) beamed
+            model = F[:, None, :] * amp_pix
+        else:
+            model = F[:, None, :] * amp_pix[None]        # (B, S, P)
         return -0.5 * jnp.sum(inv_rms2 * jnp.square(res - model))
 
     # Gaussian prior added ONCE to the fullsky total, matching the
@@ -193,19 +221,22 @@ def _grid_lnL_total(comp, bps, cfg: SpecIndConfig, res, amp_pix,
 
 
 def sample_specind_fullsky(key, comp, bps, cfg: SpecIndConfig, res, amp_pix,
-                           inv_rms2, theta_other, which: int = 0):
+                           inv_rms2, theta_other, which: int = 0,
+                           amp_band=None):
     """Single global draw of one spectral parameter (scalar).
 
-    Reference: sampleDiffuseSpecIndFullsky_nonlin (comm_nonlin_mod:1707)."""
+    Reference: sampleDiffuseSpecIndFullsky_nonlin (comm_nonlin_mod:1707);
+    amp_band adds the beam-consistent per-band amplitude maps."""
     lnl_tot = _grid_lnL_total(comp, bps, cfg, res, amp_pix, inv_rms2,
-                              theta_other, which)
+                              theta_other, which, amp_band=amp_band)
     return _cdf_invert(key, lnl_tot, cfg.grid(res.dtype))
 
 
 def sample_specind_alm(key, comp, bps, cfg: SpecIndConfig, plan, res,
                        amp_pix, inv_rms2, theta_other, theta_alm,
                        which: int = 0, lmax_ind: int = 2,
-                       step: float = 0.05, nsteps: int = 3):
+                       step: float = 0.05, nsteps: int = 3,
+                       amp_band=None):
     """alm-space Metropolis sampler for a smooth spectral-index FIELD.
 
     Reference: sample_specind_alm (comm_nonlin_mod.f90:193-874) — the
@@ -239,7 +270,9 @@ def sample_specind_alm(key, comp, bps, cfg: SpecIndConfig, plan, res,
         th = tuple(theta_map if i == which else v
                    for i, v in enumerate(theta_other))
         Fg = jnp.stack([mixing_element(comp, bp, th) for bp in bps])
-        model = Fg[:, None, :] * amp_pix[None]
+        # beam-consistent model when per-band beamed amplitudes given
+        amp_eff = amp_pix[None] if amp_band is None else amp_band
+        model = Fg[:, None, :] * amp_eff
         lp = -0.5 * jnp.sum(inv_rms2 * jnp.square(res - model))
         if cfg.prior_mean is not None and cfg.prior_std is not None:
             lp = lp - 0.5 * jnp.mean(

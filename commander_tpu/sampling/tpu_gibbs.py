@@ -79,7 +79,7 @@ def make_index_slots(comps: Sequence[DiffuseComponent], pcfgs=None,
 def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
                     base_sys: amp.AmplitudeSystem, plan,
                     state: gibbs_mod.GibbsState, thetas: jnp.ndarray,
-                    key):
+                    key, beam_consistent: bool = False):
     """One jitted Gibbs iteration. thetas: flat (nslot,) parameter vector
     (order = `slots`). Returns (new_state, new_thetas, sys_with_new_F).
 
@@ -124,9 +124,18 @@ def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
         sys_i = dataclasses.replace(sys, F=F.astype(base_sys.data.dtype))
         res = compute_residual(sys_i, plan, state.a, exclude=slot.ci)
         amp_pix = sht.alm2map(plan, state.a[slot.ci])
+        # beam-consistent index lnL: project the component amplitude
+        # through each band's b_l so the model matches the data's
+        # resolution (static flag: the caller checks b_l deviates
+        # from 1; costs B extra synths per slot when on)
+        amp_band = None
+        if beam_consistent:
+            amp_band = sht.alm2map(
+                plan, state.a[slot.ci][None] * sys_i.bl[..., None])
         t_new = si.sample_specind_fullsky(
             k, comps[slot.ci], bps, slot.cfg, res, amp_pix,
-            sys_i.inv_rms2, tt[slot.ci], which=slot.which)
+            sys_i.inv_rms2, tt[slot.ci], which=slot.which,
+            amp_band=amp_band)
         th = th.at[i].set(jnp.reshape(t_new, ()).astype(th.dtype))
 
     # final mixing with the fresh thetas (next iteration's operator)

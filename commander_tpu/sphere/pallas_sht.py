@@ -46,6 +46,12 @@ from .sht_otf import _SCALE_POW, LegendreOTF
 
 _INTERPRET = False  # set True to force interpret mode (tests on CPU)
 
+# MXU dot precision: HIGH = 3-pass bf16 (err ~1e-6, the default),
+# HIGHEST = 6-pass (err ~4e-7, 2x dot cost). Module-level knob so the
+# bench can sweep it.
+_MXU_PRECISION = "high"
+
+
 
 def _rup(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -470,6 +476,287 @@ def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
             interpret=interpret or _INTERPRET,
         )(seeds, seede, A, B, beta, x, gn_re, gn_im, gs_re, gs_im)
         parts.append((a_re + 1j * a_im)[:, :nl, :nm])
+    return jnp.concatenate(parts, 0).reshape(batch + (nl, nm))
+
+
+# ---------------------------------------------------------------------------
+# MXU kernels (round-5): h-on-lanes recurrence + batched dot accumulation
+# ---------------------------------------------------------------------------
+#
+# The ROADMAP round-4 addendum layout, with one further lever: the
+# north/south parity split folds into the contraction's M dimension by
+# PRE-SIGNING the alm batch with (-1)^l host-side —
+#   F_n(m,h) = sum_l Lambda_lm(h) a_l,
+#   F_s(m,h) = (-1)^m sum_l (-1)^l Lambda_lm(h) a_l,
+# so stacking [a_ri ; (-1)^l a_ri] gives BOTH streams from ONE batched
+# dot_general with M = 4B (B batch x re/im x n/s), K = LC, N = BH.
+# The recurrence runs on (8 m sublanes, BH h lanes) tiles, emits each
+# Lambda step to a (LC, 8, BH) VMEM scratch at the contiguous leading
+# index (no lane shuffles), and the per-chunk contraction is a single
+# m-batched dot_general — the accumulation FLOPs (73% of the kernel per
+# the ROADMAP roofline) move from the VPU to the MXU.
+# Reference: libsharp's on-the-fly recurrence (SURVEY §2.3).
+
+
+def _pick_pack_T(otf: LegendreOTF, nside: int, block_h: int,
+                 block_l: int):
+    """Transposed coefficient pack for the MXU kernels:
+    seeds/seed_exp (nm_p8, nh_p), A/B/beta (nl_p, nm_p8, 1), x (1, nh_p)
+    with nm padded to a multiple of 8 (m on sublanes)."""
+    seeds, seede, A, B, beta, x = _pick_pack(otf, nside, block_h, 8,
+                                             block_l)
+    tr = lambda a: jnp.asarray(a).T if not isinstance(a, np.ndarray) \
+        else np.ascontiguousarray(a.T)
+    c3 = lambda a: jnp.asarray(a)[:, :, None]
+    return (tr(seeds), tr(seede), c3(A), c3(B), c3(beta),
+            jnp.asarray(x).reshape(1, -1))
+
+
+def _synth_kernel_mxu(mp: int, BH: int, LC: int,
+                      seed_m_ref, seed_e_ref, A_ref, B_ref, beta_ref,
+                      x_ref, a_ref, out_ref,
+                      lam_s, prev_s, pe_s, cur_s, ce_s):
+    """grid (h-blocks, m8-blocks, l-chunks). Blocks:
+    seeds (8, BH) @ (j, i); A/B/beta (LC, 8, 1) @ (k, j, 0);
+    x (1, BH) @ (0, i); a [8, 4B, LC] @ (j, 0, k) — a = [a_ri; (-1)^l
+    a_ri] laid out (nm, 4B, nl); out (8, 4B, BH) @ (j, 0, i) RAW
+    accumulator [F_n_ri ; F~_s_ri] — the (-1)^m south sign and the
+    re/im unstack happen host-side. Mosaic's batched matmul requires
+    the m batch dim at position 0 of BOTH operands, so the (LC, 8, BH)
+    lam scratch (contiguous per-step stores) is transposed once per
+    chunk before the dot."""
+    k = pl.program_id(2)
+    big = jnp.float32(2.0 ** _SCALE_POW)
+    bigi = jnp.float32(2.0 ** -_SCALE_POW)
+    x = x_ref[...]                                       # (1, BH)
+    m_ids = pl.program_id(1) * 8 + jax.lax.broadcasted_iota(
+        jnp.int32, (8, BH), 0)
+
+    @pl.when(k == 0)
+    def _init():
+        z = jnp.zeros_like(prev_s)
+        prev_s[...] = z
+        cur_s[...] = z
+        pe_s[...] = jnp.zeros_like(pe_s)
+        ce_s[...] = jnp.full_like(ce_s, -128)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    run = (k + 1) * LC > pl.program_id(1) * 8            # triangular skip
+
+    @pl.when(run)
+    def _work():
+        def substep(i_loc, carry):
+            prev, prev_e, cur, cur_e = carry
+            l = k * LC + i_loc
+            start = jnp.maximum(m_ids, abs(mp)) == l
+            cur2 = jnp.where(start, seed_m_ref[...], cur)
+            cur_e2 = jnp.where(start, seed_e_ref[...], cur_e)
+            prev2 = jnp.where(start, 0.0, prev)
+            prev_e2 = jnp.where(start, 0, prev_e)
+            lam_s[i_loc] = _emit(cur2, cur_e2, bigi)     # (8, BH)
+            alpha = A_ref[i_loc] * x + B_ref[i_loc]      # (8,1)*(1,BH)
+            return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
+                                beta_ref[i_loc] * jnp.ones_like(x),
+                                big, bigi)
+
+        out = jax.lax.fori_loop(
+            0, LC, substep,
+            (prev_s[...], pe_s[...], cur_s[...], ce_s[...]))
+        prev_s[...], pe_s[...], cur_s[...], ce_s[...] = out
+        # m-batched MXU contraction: (8, 4B, LC) x (8, LC, BH)
+        # -> (8, 4B, BH), batch dim m (position 0), contraction l
+        lam_b = jnp.transpose(lam_s[...], (1, 0, 2))
+        out_ref[...] += jax.lax.dot_general(
+            a_ref[...], lam_b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision(_MXU_PRECISION),
+            preferred_element_type=jnp.float32)
+
+
+def synth_legendre_pallas_mxu(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
+                              block_h: int = 512, block_l: int = 256,
+                              interpret: bool = False, max_b: int = 8):
+    """alm (..., nl, nm) complex64 -> (F_n, F_s) (..., nh, nm) complex64.
+
+    MXU-contraction variant of synth_legendre_pallas (same semantics)."""
+    nside = nh // 2
+    nl = otf.lmax + 1
+    nm = otf.mmax + 1
+    block_h = min(block_h, _rup(nh, 128))
+    block_l = min(block_l, _rup(nl, 8))
+    seeds, seede, A, B, beta, x = _pick_pack_T(otf, nside, block_h,
+                                               block_l)
+    nm_p, nh_p = seeds.shape
+    nl_p = A.shape[0]
+
+    batch = alm.shape[:-2]
+    a2 = alm.reshape((-1, nl, nm))
+    Btot = a2.shape[0]
+    parl = (1.0 - 2.0 * (np.arange(nl) % 2)).astype(np.float32)
+    m_par = (1.0 - 2.0 * (np.arange(nm) % 2)).astype(np.float32)
+
+    grid = (nh_p // block_h, nm_p // 8, nl_p // block_l)
+    bs_seed = pl.BlockSpec((8, block_h), lambda i, j, k: (j, i))
+    bs_c = pl.BlockSpec((block_l, 8, 1), lambda i, j, k: (k, j, 0))
+    bs_x = pl.BlockSpec((1, block_h), lambda i, j, k: (0, i))
+
+    Fn_parts, Fs_parts = [], []
+    for b0 in range(0, Btot, max_b):
+        Bc_ = min(max_b, Btot - b0)
+        a_blk = a2[b0:b0 + Bc_]
+        a_ri = jnp.concatenate([a_blk.real, a_blk.imag],
+                               0).astype(jnp.float32)   # (2B, nl, nm)
+        a_st = jnp.concatenate([a_ri, a_ri * parl[None, :, None]], 0)
+        a_T = jnp.pad(a_st.transpose(0, 2, 1),
+                      ((0, 0), (0, nm_p - nm), (0, nl_p - nl)))
+        M = 4 * Bc_
+        a_T = a_T.transpose(1, 0, 2)                      # (nm_p, M, nl_p)
+        bs_a = pl.BlockSpec((8, M, block_l), lambda i, j, k: (j, 0, k))
+        bs_o = pl.BlockSpec((8, M, block_h), lambda i, j, k: (j, 0, i))
+        kern = partial(_synth_kernel_mxu, otf.mp, block_h, block_l)
+        raw = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[bs_seed, bs_seed, bs_c, bs_c, bs_c, bs_x, bs_a],
+            out_specs=bs_o,
+            out_shape=jax.ShapeDtypeStruct((nm_p, M, nh_p), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((block_l, 8, block_h), jnp.float32),
+                pltpu.VMEM((8, block_h), jnp.float32),
+                pltpu.VMEM((8, block_h), jnp.int32),
+                pltpu.VMEM((8, block_h), jnp.float32),
+                pltpu.VMEM((8, block_h), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret or _INTERPRET,
+        )(seeds, seede, A, B, beta, x, a_T)
+        raw = raw[:nm, :, :nh]                            # (nm, 4B, nh)
+        fn = raw[:, :2 * Bc_].transpose(1, 2, 0)          # (2B, nh, nm)
+        fs = (raw[:, 2 * Bc_:] * m_par[:, None, None]).transpose(1, 2, 0)
+        Fn_parts.append(fn[:Bc_] + 1j * fn[Bc_:])
+        Fs_parts.append(fs[:Bc_] + 1j * fs[Bc_:])
+    Fn = jnp.concatenate(Fn_parts, 0).reshape(batch + (nh, nm))
+    Fs = jnp.concatenate(Fs_parts, 0).reshape(batch + (nh, nm))
+    return Fn, Fs
+
+
+def _adj_kernel_mxu(mp: int, BH: int, LC: int, NCH: int,
+                    seed_m_ref, seed_e_ref, A_ref, B_ref, beta_ref,
+                    x_ref, g_ref, out_ref, lam_s):
+    """grid (m8-blocks, h-blocks) with rings innermost; the (8, 4B,
+    nl_p) raw output block [a_n_ri ; a~_s_ri] stays VMEM-resident per
+    m-block while ring-block partial sums accumulate. g = [g_n_ri ;
+    (-1)^m g_s_ri] laid out (8, 4B, BH) batch-m-first; the (-1)^l
+    combine a = a_n + (-1)^l a~_s happens host-side."""
+    j = pl.program_id(0)
+    big = jnp.float32(2.0 ** _SCALE_POW)
+    bigi = jnp.float32(2.0 ** -_SCALE_POW)
+    x = x_ref[...]
+    m_ids = j * 8 + jax.lax.broadcasted_iota(jnp.int32, (8, BH), 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = g_ref[...]                                       # (4B, 8, BH)
+
+    def chunk_body(c, carry):
+        def substep(i_loc, carry):
+            prev, prev_e, cur, cur_e = carry
+            l = c * LC + i_loc
+            start = jnp.maximum(m_ids, abs(mp)) == l
+            cur2 = jnp.where(start, seed_m_ref[...], cur)
+            cur_e2 = jnp.where(start, seed_e_ref[...], cur_e)
+            prev2 = jnp.where(start, 0.0, prev)
+            prev_e2 = jnp.where(start, 0, prev_e)
+            lam_s[i_loc] = _emit(cur2, cur_e2, bigi)
+            alpha = A_ref[l] * x + B_ref[l]
+            return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
+                                beta_ref[l] * jnp.ones_like(x),
+                                big, bigi)
+
+        carry = jax.lax.fori_loop(0, LC, substep, carry)
+        # (8, 4B, BH) x (8, LC, BH) -> (8, 4B, LC), batch m (pos 0),
+        # contraction h
+        lam_b = jnp.transpose(lam_s[...], (1, 0, 2))
+        dotc = jax.lax.dot_general(
+            g, lam_b,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision(_MXU_PRECISION),
+            preferred_element_type=jnp.float32)
+        idx = (slice(None), slice(None), pl.dslice(c * LC, LC))
+        out_ref[idx] += dotc
+        return carry
+
+    z = jnp.zeros((8, BH), jnp.float32)
+    zi = jnp.zeros((8, BH), jnp.int32)
+    carry0 = (z, zi, z, jnp.full((8, BH), -128, jnp.int32))
+    c0 = (j * 8) // LC                                   # triangular skip
+    jax.lax.fori_loop(c0, NCH, chunk_body, carry0)
+
+
+def adjoint_legendre_pallas_mxu(otf: LegendreOTF, F_n: jnp.ndarray,
+                                F_s: jnp.ndarray, block_h: int = 512,
+                                block_l: int = 256,
+                                interpret: bool = False,
+                                max_b: int = 8):
+    """(F_n, F_s) (..., nh, nm) complex64 -> alm (..., nl, nm) complex64.
+
+    MXU-contraction variant of adjoint_legendre_pallas."""
+    nl = otf.lmax + 1
+    nm = otf.mmax + 1
+    nh = F_n.shape[-2]
+    nside = nh // 2
+    block_h = min(block_h, _rup(nh, 128))
+    block_l = min(block_l, _rup(nl, 8))
+    seeds, seede, A, B, beta, x = _pick_pack_T(otf, nside, block_h,
+                                               block_l)
+    nm_p, nh_p = seeds.shape
+    nl_p = A.shape[0]
+    parl = (1.0 - 2.0 * (np.arange(nl_p) % 2)).astype(np.float32)
+    m_par = (1.0 - 2.0 * (np.arange(nm) % 2)).astype(np.float32)
+
+    batch = F_n.shape[:-2]
+    Fn2 = F_n.reshape((-1, nh, nm))
+    Fs2 = F_s.reshape((-1, nh, nm))
+    Btot = Fn2.shape[0]
+
+    grid = (nm_p // 8, nh_p // block_h)                  # rings innermost
+    bs_seed = pl.BlockSpec((8, block_h), lambda j, i: (j, i))
+    bs_c = pl.BlockSpec((nl_p, 8, 1), lambda j, i: (0, j, 0))
+    bs_x = pl.BlockSpec((1, block_h), lambda j, i: (0, i))
+
+    parts = []
+    for b0 in range(0, Btot, max_b):
+        Bc_ = min(max_b, Btot - b0)
+        gn = Fn2[b0:b0 + Bc_]
+        gs = Fs2[b0:b0 + Bc_] * m_par[None, None, :]
+        g_ri = jnp.concatenate([gn.real, gn.imag, gs.real, gs.imag],
+                               0).astype(jnp.float32)    # (4B, nh, nm)
+        g_T = jnp.pad(g_ri.transpose(2, 0, 1),
+                      ((0, nm_p - nm), (0, 0), (0, nh_p - nh)))
+        M = 4 * Bc_
+        bs_g = pl.BlockSpec((8, M, block_h), lambda j, i: (j, 0, i))
+        bs_o = pl.BlockSpec((8, M, nl_p), lambda j, i: (j, 0, 0))
+        kern = partial(_adj_kernel_mxu, otf.mp, block_h, block_l,
+                       nl_p // block_l)
+        raw = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[bs_seed, bs_seed, bs_c, bs_c, bs_c, bs_x, bs_g],
+            out_specs=bs_o,
+            out_shape=jax.ShapeDtypeStruct((nm_p, M, nl_p), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((block_l, 8, block_h), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret or _INTERPRET,
+        )(seeds, seede, A, B, beta, x, g_T)
+        # a = a_n + (-1)^l a~_s, then re/im unstack + (nm, nl) -> (nl, nm)
+        a_n = raw[:nm, :2 * Bc_, :]
+        a_s = raw[:nm, 2 * Bc_:, :] * parl[None, None, :]
+        a_ri = (a_n + a_s).transpose(1, 2, 0)[:, :nl, :]  # (2B, nl, nm)
+        parts.append(a_ri[:Bc_] + 1j * a_ri[Bc_:])
     return jnp.concatenate(parts, 0).reshape(batch + (nl, nm))
 
 

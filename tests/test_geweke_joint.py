@@ -48,14 +48,20 @@ SLOTS = (tpu_gibbs.IndexSlot(ci=1, which=0, cfg=si.SpecIndConfig(
     prior_std=B_STD, lnl_type="chisq")),)
 
 
-def _base():
+def _base(beams: bool = False):
     plan = sht.get_plan(NSIDE, LMAX)
     cl_cfg = ClModelConfig(kind="binned", lmax=LMAX, nmaps=1,
                            bin_starts=(0, 3, 6))
     F0 = mixing_matrix(COMPS, BPS)                       # (B, C)
-    bl = np.ones((2, 1, NL))                             # trivial beams:
-    # the index conditional models F(beta) * (Y a) without beam
-    # deconvolution, so exactness requires b_l = 1 here
+    if beams:
+        # per-band DIFFERENT Gaussian beams (b_l down to ~0.45 at
+        # lmax): exercises the beam-consistent index conditional
+        # (amp_band = Y(b_l a); round-4 VERDICT missing #3)
+        from commander_tpu.instrument.beam import gaussian_bl
+        bl = np.stack([gaussian_bl(600.0, LMAX)[None, :],
+                       gaussian_bl(1200.0, LMAX)[None, :]])
+    else:
+        bl = np.ones((2, 1, NL))
     rms = np.full((2, 1, NPIX), RMS)
     sys = amp.build_system(jnp.asarray(F0), jnp.asarray(bl),
                            jnp.asarray(rms), jnp.ones((2, 1, NL)),
@@ -102,8 +108,10 @@ def _forward(plan, cl_cfg, sys, tri, key, beta):
 
 
 @pytest.mark.slow
-def test_geweke_joint_with_specind():
-    plan, cl_cfg, gcfg, sys0, tri = _base()
+@pytest.mark.parametrize("beams", [False, True],
+                         ids=["bl1", "per-band-beams"])
+def test_geweke_joint_with_specind(beams):
+    plan, cl_cfg, gcfg, sys0, tri = _base(beams)
     rng = np.random.default_rng(7)
     n_mc, n_gibbs, thin = 1500, 2500, 3
 
@@ -124,7 +132,8 @@ def test_geweke_joint_with_specind():
     def sc_step(state, th, sys, key):
         k1, k2 = jax.random.split(key)
         state, th, sys_new = tpu_gibbs.full_gibbs_step(
-            gcfg, COMPS, BPS, SLOTS, sys, plan, state, th, k1)
+            gcfg, COMPS, BPS, SLOTS, sys, plan, state, th, k1,
+            beam_consistent=beams)
         sky = amp._synth(plan, amp._project_bands(sys_new, plan, state.a))
         d = sky + RMS * jax.random.normal(k2, sky.shape, sky.dtype)
         return state, th, dataclasses.replace(sys_new, data=d)

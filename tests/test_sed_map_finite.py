@@ -18,8 +18,10 @@ from commander_tpu.instrument.bandpass import delta_bandpass, tophat_bandpass
 from commander_tpu.model.mixing import DiffuseComponent, mixing_element
 
 COMPS = [
+    # cmb has no spectral parameters: which=-1 marks the sweep as
+    # intentionally constant (the grid only drives the lax.map trip).
     (DiffuseComponent(name="cmb", sed="cmb", nu_ref=100e9,
-                      unit="uK_cmb"), 0, (0.0, 1.0)),
+                      unit="uK_cmb"), -1, (0.0, 1.0)),
     (DiffuseComponent(name="synch", sed="power_law", nu_ref=30e9,
                       theta0=(-3.1,)), 0, (-3.8, -2.4)),
     (DiffuseComponent(name="dust", sed="MBB", nu_ref=353e9,
@@ -38,6 +40,12 @@ COMPS = [
 @pytest.mark.parametrize("mkbp", [delta_bandpass, tophat_bandpass],
                          ids=["delta", "tophat"])
 def test_mixing_finite_under_lax_map(comp, which, rng, mkbp):
+    # guard against dead parametrizations: which must index a real
+    # parameter, or be the explicit -1 "no parameters" marker
+    if which >= 0:
+        assert which < len(comp.theta0), (comp.name, which)
+    else:
+        assert not comp.theta0, (comp.name, which)
     grid = jnp.asarray(np.linspace(rng[0], rng[1], 16), jnp.float32)
     for f_ghz in (28.4, 44.1, 70.1, 353.0):
         bp = mkbp(f_ghz * 1e9)
