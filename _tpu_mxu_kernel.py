@@ -125,10 +125,10 @@ def sweep(nside, lmax):
                         ).astype(np.float32))
     a_im = jnp.asarray((rng.standard_normal((8, nl, nm)) * tri
                         ).astype(np.float32))
-    for prec in ("high", "highest"):
+    for prec, store in (("bf16x3", "pre"), ("highest", "pre")):
         ps._MXU_PRECISION = prec
-        for bh, lc in ((512, 256), (512, 512), (1024, 256), (256, 256),
-                       (2048, 256)):
+        ps._MXU_STORE = store
+        for bh, lc in ((2048, 128), (2048, 256)):
             @jax.jit
             def loop(re, im):
                 def body(i, a):
@@ -141,15 +141,13 @@ def sweep(nside, lmax):
                 return jnp.sum(jnp.abs(out))
             try:
                 t0 = time.time()
-                sv = loop(a_re, a_im)
-                jax.block_until_ready(sv)
+                sv = float(np.asarray(loop(a_re, a_im)))
                 tc = time.time() - t0
                 t0 = time.time()
-                sv = loop(a_re, a_im)
-                jax.block_until_ready(sv)
+                sv = float(np.asarray(loop(a_re, a_im)))
                 dt = time.time() - t0
                 print(f"  prec={prec} bh={bh} lc={lc}: {32/dt:.2f} SHT/s"
-                      f" (compile {tc:.0f}s, sum {float(np.asarray(sv)):.4e})",
+                      f" (compile {tc:.0f}s, sum {sv:.4e})",
                       flush=True)
             except Exception as e:
                 print(f"  prec={prec} bh={bh} lc={lc}: FAIL "

@@ -92,13 +92,16 @@ class Params:
             return default
         return parse_value(_strip_value(self.table[key]))
 
-    def get_indexed(self, prefix: str, i: int, default=None, width: int = 0):
+    def get_indexed(self, prefix: str, i: int, default=None, width: int = 0,
+                    raw: bool = False):
         """BAND_NSIDE001-style lookup; tries widths 3 and 2 like the
-        reference's itext formats."""
+        reference's itext formats. raw=True returns the uncoerced string
+        token (labels like '030' must not collapse to int 30)."""
         for w in ([width] if width else [3, 2]):
             k = f"{prefix}{i:0{w}d}"
             if k in self.table:
-                return parse_value(_strip_value(self.table[k]))
+                tok = _strip_value(self.table[k])
+                return tok if raw else parse_value(tok)
         return default
 
 
@@ -194,6 +197,11 @@ class RunConfig:
     smoothing_scales: list = dataclasses.field(default_factory=list)
     output_input_model: bool = False      # OUTPUT_INPUT_MODEL
     output_debug_seds: bool = False       # OUTPUT_DEBUG_SEDS
+    # synthetic-TOD scale (driver --synthetic runs without archives;
+    # production-scale e2e raises these to realistic scans/samples)
+    synth_tod_nscan: int = 8
+    synth_tod_ndet: int = 2
+    synth_tod_ntod: int = 4096
     output_cg_freq: int = 0               # OUTPUT_EVERY_NTH_CG_ITERATION
     almsamp_pixreg: bool = False          # ALMSAMP_PIXREG
     init_chain: 'Optional[str]' = None    # INIT_CHAIN / INIT_CHAIN01 ('file:samp')
@@ -236,7 +244,8 @@ def lower_params(p: Params) -> RunConfig:
         if not p.get_indexed("INCLUDE_BAND", i, False):
             continue
         bands.append(BandConfig(
-            label=str(p.get_indexed("BAND_LABEL", i, f"band{i}")),
+            label=str(p.get_indexed("BAND_LABEL", i, f"band{i}",
+                                    raw=True)),
             nside=int(p.get_indexed("BAND_NSIDE", i, 64)),
             lmax=int(p.get_indexed("BAND_LMAX", i, 128)),
             unit=str(p.get_indexed("BAND_UNIT", i, "uK_cmb")),
@@ -246,6 +255,8 @@ def lower_params(p: Params) -> RunConfig:
             noisefile=p.get_indexed("BAND_NOISEFILE", i),
             maskfile=p.get_indexed("BAND_MASKFILE", i),
             beamfile=p.get_indexed("BAND_BEAM_B_L_FILE", i),
+            beam_fwhm_arcmin=float(
+                p.get_indexed("BAND_BEAM_FWHM", i, 0.0) or 0.0),
             bandpass_type=str(p.get_indexed("BAND_BANDPASS_TYPE", i, "delta")),
             bandpassfile=p.get_indexed("BAND_BANDPASSFILE", i),
             noise_format=str(p.get_indexed("BAND_NOISE_FORMAT", i, "rms")),
@@ -396,6 +407,9 @@ def lower_params(p: Params) -> RunConfig:
             p.get("NUMITER_RESAMPLE_HARD_GAIN_PRIORS", 0) or 0),
         output_input_model=bool(p.get("OUTPUT_INPUT_MODEL", False)),
         output_debug_seds=bool(p.get("OUTPUT_DEBUG_SEDS", False)),
+        synth_tod_nscan=int(p.get("SYNTH_TOD_NSCAN", 8) or 8),
+        synth_tod_ndet=int(p.get("SYNTH_TOD_NDET", 2) or 2),
+        synth_tod_ntod=int(p.get("SYNTH_TOD_NTOD", 4096) or 4096),
         output_cg_freq=int(p.get("OUTPUT_EVERY_NTH_CG_ITERATION", 0)
                            or 0),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),

@@ -79,7 +79,8 @@ def make_index_slots(comps: Sequence[DiffuseComponent], pcfgs=None,
 def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
                     base_sys: amp.AmplitudeSystem, plan,
                     state: gibbs_mod.GibbsState, thetas: jnp.ndarray,
-                    key, beam_consistent: bool = False):
+                    key, beam_consistent: bool = False,
+                    ts=None, ps=None):
     """One jitted Gibbs iteration. thetas: flat (nslot,) parameter vector
     (order = `slots`). Returns (new_state, new_thetas, sys_with_new_F).
 
@@ -106,9 +107,20 @@ def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
         F = F[..., None].repeat(base_sys.data.shape[1], axis=-1)
     sys = dataclasses.replace(base_sys, F=F.astype(base_sys.data.dtype))
 
-    # 2+3. amplitude CG + binned Cl (gibbs_step)
+    # 2+3. amplitude CG + binned Cl (gibbs_step); ts/ps extend the
+    # solve to the joint [diffuse alms | template amps | source amps]
+    # system (cr_amp2x) — the tutorial's md / radio / relquad rows
     state = dataclasses.replace(state, key=key)
-    state = gibbs_mod.gibbs_step(gcfg, sys, plan, state)
+    state = gibbs_mod.gibbs_step(gcfg, sys, plan, state, ts, ps)
+    extra_sky = None
+    if ts is not None and state.t is not None:
+        from . import joint as joint_mod
+        extra_sky = joint_mod._templates_fwd(ts, state.t)
+    if ps is not None and state.p is not None:
+        from . import joint as joint_mod
+        p_sky = joint_mod._ptsrc_fwd(ps, state.p,
+                                     base_sys.data.shape[-1])
+        extra_sky = p_sky if extra_sky is None else extra_sky + p_sky
 
     # 4. spectral indices: fullsky grid inversion per slot, sequential in
     # slot order (each draw conditions on the previous ones, like the
@@ -123,6 +135,11 @@ def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
             F = F[..., None].repeat(base_sys.data.shape[1], axis=-1)
         sys_i = dataclasses.replace(sys, F=F.astype(base_sys.data.dtype))
         res = compute_residual(sys_i, plan, state.a, exclude=slot.ci)
+        if extra_sky is not None:
+            # md / ptsrc / template signals are "other components" for
+            # the index conditional (the reference's residual subtracts
+            # every other active component, comm_nonlin_mod.f90:1707+)
+            res = res - extra_sky
         amp_pix = sht.alm2map(plan, state.a[slot.ci])
         # beam-consistent index lnL: project the component amplitude
         # through each band's b_l so the model matches the data's

@@ -46,10 +46,36 @@ from .sht_otf import _SCALE_POW, LegendreOTF
 
 _INTERPRET = False  # set True to force interpret mode (tests on CPU)
 
-# MXU dot precision: HIGH = 3-pass bf16 (err ~1e-6, the default),
-# HIGHEST = 6-pass (err ~4e-7, 2x dot cost). Module-level knob so the
-# bench can sweep it.
-_MXU_PRECISION = "high"
+# MXU dot precision: "bf16x3" = manual 3-pass bf16 split (err ~1e-6;
+# Mosaic rejects lax Precision.HIGH so the split is done by hand),
+# "highest" = 6-pass (err ~4e-7, 2x dot cost), "default" = 1-pass bf16
+# (err ~3e-3, diagnostics only). Module-level knob so the bench can
+# sweep it.
+_MXU_PRECISION = "bf16x3"
+
+# lam scratch layout: "post" stores (LC, 8, BH) contiguously and
+# transposes once per chunk before the dot; "pre" stores (8, 1, BH)
+# slices into the (8, LC, BH) batch-first layout per step (no chunk
+# transpose, pricier stores). Measured knob.
+_MXU_STORE = "pre"
+
+
+def _mxu_dot(a, b, dims):
+    """dot_general at the module precision knob (f32 accumulate)."""
+    if _MXU_PRECISION != "bf16x3":
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            precision=jax.lax.Precision(_MXU_PRECISION),
+            preferred_element_type=jnp.float32)
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    d = lambda x, y: jax.lax.dot_general(
+        x, y, dimension_numbers=dims,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 
@@ -553,7 +579,11 @@ def _synth_kernel_mxu(mp: int, BH: int, LC: int,
             cur_e2 = jnp.where(start, seed_e_ref[...], cur_e)
             prev2 = jnp.where(start, 0.0, prev)
             prev_e2 = jnp.where(start, 0, prev_e)
-            lam_s[i_loc] = _emit(cur2, cur_e2, bigi)     # (8, BH)
+            lam = _emit(cur2, cur_e2, bigi)              # (8, BH)
+            if _MXU_STORE == "pre":
+                lam_s[:, pl.dslice(i_loc, 1), :] = lam[:, None, :]
+            else:
+                lam_s[i_loc] = lam
             alpha = A_ref[i_loc] * x + B_ref[i_loc]      # (8,1)*(1,BH)
             return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
                                 beta_ref[i_loc] * jnp.ones_like(x),
@@ -565,16 +595,14 @@ def _synth_kernel_mxu(mp: int, BH: int, LC: int,
         prev_s[...], pe_s[...], cur_s[...], ce_s[...] = out
         # m-batched MXU contraction: (8, 4B, LC) x (8, LC, BH)
         # -> (8, 4B, BH), batch dim m (position 0), contraction l
-        lam_b = jnp.transpose(lam_s[...], (1, 0, 2))
-        out_ref[...] += jax.lax.dot_general(
-            a_ref[...], lam_b,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision(_MXU_PRECISION),
-            preferred_element_type=jnp.float32)
+        lam_b = lam_s[...] if _MXU_STORE == "pre" \
+            else jnp.transpose(lam_s[...], (1, 0, 2))
+        out_ref[...] += _mxu_dot(a_ref[...], lam_b,
+                                 (((2,), (1,)), ((0,), (0,))))
 
 
 def synth_legendre_pallas_mxu(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
-                              block_h: int = 512, block_l: int = 256,
+                              block_h: int = 2048, block_l: int = 128,
                               interpret: bool = False, max_b: int = 8):
     """alm (..., nl, nm) complex64 -> (F_n, F_s) (..., nh, nm) complex64.
 
@@ -621,7 +649,8 @@ def synth_legendre_pallas_mxu(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
             out_specs=bs_o,
             out_shape=jax.ShapeDtypeStruct((nm_p, M, nh_p), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((block_l, 8, block_h), jnp.float32),
+                pltpu.VMEM((8, block_l, block_h) if _MXU_STORE == "pre"
+                           else (block_l, 8, block_h), jnp.float32),
                 pltpu.VMEM((8, block_h), jnp.float32),
                 pltpu.VMEM((8, block_h), jnp.int32),
                 pltpu.VMEM((8, block_h), jnp.float32),
@@ -669,7 +698,11 @@ def _adj_kernel_mxu(mp: int, BH: int, LC: int, NCH: int,
             cur_e2 = jnp.where(start, seed_e_ref[...], cur_e)
             prev2 = jnp.where(start, 0.0, prev)
             prev_e2 = jnp.where(start, 0, prev_e)
-            lam_s[i_loc] = _emit(cur2, cur_e2, bigi)
+            lam = _emit(cur2, cur_e2, bigi)
+            if _MXU_STORE == "pre":
+                lam_s[:, pl.dslice(i_loc, 1), :] = lam[:, None, :]
+            else:
+                lam_s[i_loc] = lam
             alpha = A_ref[l] * x + B_ref[l]
             return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
                                 beta_ref[l] * jnp.ones_like(x),
@@ -678,12 +711,9 @@ def _adj_kernel_mxu(mp: int, BH: int, LC: int, NCH: int,
         carry = jax.lax.fori_loop(0, LC, substep, carry)
         # (8, 4B, BH) x (8, LC, BH) -> (8, 4B, LC), batch m (pos 0),
         # contraction h
-        lam_b = jnp.transpose(lam_s[...], (1, 0, 2))
-        dotc = jax.lax.dot_general(
-            g, lam_b,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            precision=jax.lax.Precision(_MXU_PRECISION),
-            preferred_element_type=jnp.float32)
+        lam_b = lam_s[...] if _MXU_STORE == "pre" \
+            else jnp.transpose(lam_s[...], (1, 0, 2))
+        dotc = _mxu_dot(g, lam_b, (((2,), (2,)), ((0,), (0,))))
         idx = (slice(None), slice(None), pl.dslice(c * LC, LC))
         out_ref[idx] += dotc
         return carry
@@ -696,8 +726,8 @@ def _adj_kernel_mxu(mp: int, BH: int, LC: int, NCH: int,
 
 
 def adjoint_legendre_pallas_mxu(otf: LegendreOTF, F_n: jnp.ndarray,
-                                F_s: jnp.ndarray, block_h: int = 512,
-                                block_l: int = 256,
+                                F_s: jnp.ndarray, block_h: int = 2048,
+                                block_l: int = 128,
                                 interpret: bool = False,
                                 max_b: int = 8):
     """(F_n, F_s) (..., nh, nm) complex64 -> alm (..., nl, nm) complex64.
@@ -747,7 +777,8 @@ def adjoint_legendre_pallas_mxu(otf: LegendreOTF, F_n: jnp.ndarray,
             out_specs=bs_o,
             out_shape=jax.ShapeDtypeStruct((nm_p, M, nl_p), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((block_l, 8, block_h), jnp.float32)],
+                pltpu.VMEM((8, block_l, block_h) if _MXU_STORE == "pre"
+                           else (block_l, 8, block_h), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret or _INTERPRET,

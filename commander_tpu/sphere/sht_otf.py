@@ -212,8 +212,16 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
     einsums for the two (l+m)-parity subspaces). Compiles once regardless
     of lmax. backend='pallas' plans route through the fused kernel."""
     if otf.backend == "pallas":
-        from .pallas_sht import synth_legendre_pallas
         interp = jax.default_backend() == "cpu"
+        if nh >= 1024:
+            # round-5 MXU kernel: the batched-dot accumulation layout
+            # wins above nside ~512 (49.7 vs 23.4 SHT/s at nside 1024,
+            # BENCH r05); the VPU kernel stays for small grids where the
+            # finer m-grid overhead dominates
+            from .pallas_sht import synth_legendre_pallas_mxu
+            return synth_legendre_pallas_mxu(otf, alm, nh,
+                                             interpret=interp)
+        from .pallas_sht import synth_legendre_pallas
         return synth_legendre_pallas(otf, alm, nh, interpret=interp)
     L, nl, pad_l, nchunks = _chunk_axes(otf, alm.ndim - 2)
     batch = alm.shape[:-2]
@@ -247,8 +255,12 @@ def synth_legendre_otf(otf: LegendreOTF, otf_neg, alm: jnp.ndarray, nh: int):
 def adjoint_legendre_otf(otf: LegendreOTF, F_n: jnp.ndarray, F_s: jnp.ndarray):
     """(F_north, F_south rows at theta_r) -> alm (..., nl, nm)."""
     if otf.backend == "pallas":
-        from .pallas_sht import adjoint_legendre_pallas
         interp = jax.default_backend() == "cpu"
+        if F_n.shape[-2] >= 1024:
+            from .pallas_sht import adjoint_legendre_pallas_mxu
+            return adjoint_legendre_pallas_mxu(otf, F_n, F_s,
+                                               interpret=interp)
+        from .pallas_sht import adjoint_legendre_pallas
         return adjoint_legendre_pallas(otf, F_n, F_s, interpret=interp)
     L, nl, pad_l, nchunks = _chunk_axes(otf, F_n.ndim - 2)
     batch = F_n.shape[:-2]

@@ -122,3 +122,91 @@ def test_sharded_cg_polarized_matches_local():
     assert bool(res_sh.converged)
     scale = np.abs(np.asarray(a_loc)).max()
     assert np.abs(a_sh - np.asarray(a_loc)).max() < 1e-8 * scale
+
+
+def _system_full(nside=8, lmax=16, nband=3, ncomp=2, pixmix=False,
+                 pol=False):
+    """System with optional per-pixel mixing, polarization, and joint
+    template/ptsrc rows (the full-model operator of the reference's
+    distributed cr_matmulA, comm_cr_mod.f90:771-1024)."""
+    from commander_tpu.sampling import joint as joint_mod
+
+    plan = sht.get_plan(nside, lmax, spin2=pol)
+    S = 3 if pol else 1
+    npix, nl = 12 * nside * nside, lmax + 1
+    rng = np.random.default_rng(2)
+    F = 1.0 + rng.uniform(0.2, 1.0, (nband, ncomp, S))
+    ell = np.arange(nl)
+    bl = np.exp(-0.5 * ell * (ell + 1) * np.radians(1.0) ** 2)
+    bl = np.broadcast_to(bl, (nband, S, nl)).copy()
+    rms = rng.uniform(0.5, 3.0, (nband, S, npix))
+    cl = np.zeros((ncomp, S, nl))
+    cl[:, :, 2:] = 100.0 / (ell[2:] * (ell[2:] + 1.0))
+    data = rng.normal(0, 1, (nband, S, npix))
+    sys = amp.build_system(jnp.asarray(F), jnp.asarray(bl),
+                           jnp.asarray(rms), jnp.asarray(cl),
+                           jnp.asarray(data))
+    if pixmix:
+        fp = F[..., None] * (1.0 + 0.1 * rng.standard_normal(
+            (nband, ncomp, S, npix)))
+        import dataclasses
+        sys = dataclasses.replace(sys, F_pix=jnp.asarray(fp))
+    tmaps = rng.standard_normal((2, nband, S, npix))
+    ts = joint_mod.TemplateSet(maps=jnp.asarray(tmaps),
+                               prior_mean=jnp.asarray([0.0, 1.0]),
+                               prior_istd=jnp.asarray([0.5, 2.0]))
+    src_pix = rng.choice(npix, size=5, replace=False)
+    ps = joint_mod.gaussian_stamp_ptsrc(
+        nside, src_pix, 1.0 + rng.uniform(0, 1, (nband, 5)),
+        np.full(nband, 120.0), nmaps=S, npatch=16)
+    import dataclasses
+    ps = dataclasses.replace(ps, prior_mean=jnp.zeros(5),
+                             prior_istd=jnp.full(5, 0.1))
+    return sys, plan, ts, ps
+
+
+@pytest.mark.parametrize("pixmix,pol", [(False, False), (True, False),
+                                        (True, True)],
+                         ids=["const-mix", "pixmix", "pixmix-pol"])
+def test_sharded_joint_full_model_matches_local(pixmix, pol):
+    """Round-5: the sharded CG carries the PRODUCTION operator — pixel
+    mixing (F_pix), joint template + point-source rows, polarization —
+    exactly as the local joint solver (Wiener mean, key=None)."""
+    from commander_tpu.sampling import joint as joint_mod
+
+    sys, plan, ts, ps = _system_full(pixmix=pixmix, pol=pol)
+    mesh = Mesh(np.asarray(jax.devices()), axis_names=("sphere",))
+    x_loc, res_loc = joint_mod.sample_joint(sys, plan, ts, ps, key=None,
+                                            tol=1e-11, maxiter=600)
+    with mesh:
+        x_sh, res_sh = cg_shard.sample_joint_sharded(
+            sys, plan, mesh, ts, ps, key=None, tol=1e-11, maxiter=600)
+        a_sh = np.asarray(x_sh.a)
+        t_sh = np.asarray(x_sh.t)
+        p_sh = np.asarray(x_sh.p)
+    scale = np.abs(np.asarray(x_loc.a)).max()
+    assert np.abs(a_sh - np.asarray(x_loc.a)).max() < 1e-7 * scale
+    np.testing.assert_allclose(t_sh, np.asarray(x_loc.t), atol=1e-7,
+                               rtol=1e-6)
+    np.testing.assert_allclose(p_sh, np.asarray(x_loc.p), atol=1e-7,
+                               rtol=1e-6)
+
+
+def test_sharded_joint_band_axis_2d():
+    """Same full model on the 2-D band x sphere mesh (P3 x P2)."""
+    from commander_tpu.sampling import joint as joint_mod
+
+    sys, plan, ts, ps = _system_full(pixmix=True, nband=4)
+    devs = np.asarray(jax.devices())
+    if devs.size < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(devs[:4].reshape(2, 2), axis_names=("band", "sphere"))
+    x_loc, _ = joint_mod.sample_joint(sys, plan, ts, ps, key=None,
+                                      tol=1e-11, maxiter=600)
+    with mesh:
+        x_sh, res_sh = cg_shard.sample_joint_sharded(
+            sys, plan, mesh, ts, ps, key=None, tol=1e-11, maxiter=600,
+            band_axis="band")
+        a_sh = np.asarray(x_sh.a)
+    scale = np.abs(np.asarray(x_loc.a)).max()
+    assert np.abs(a_sh - np.asarray(x_loc.a)).max() < 1e-7 * scale
