@@ -233,7 +233,15 @@ def joint_dot(x: JointState, y: JointState):
 
 
 def _band_maps(sys, plan, x: JointState, ts, ps):
-    m = amp._synth(plan, amp._project_bands(sys, plan, amp._sqrtS(sys, x.a)))
+    a = amp._sqrtS(sys, x.a)
+    if sys.F_pix is not None:
+        # per-pixel mixing rides through the joint system exactly as in
+        # the reference's cr_matmulA (comm_cr_mod.f90:771-1024 evaluates
+        # every component class, incl. pixel-mixing diffuse rows, in the
+        # same distributed matvec)
+        m = amp._forward_pixmix(sys, plan, a)
+    else:
+        m = amp._synth(plan, amp._project_bands(sys, plan, a))
     if ts is not None:
         m = m + _templates_fwd(ts, x.t)
     if ps is not None:
@@ -242,7 +250,11 @@ def _band_maps(sys, plan, x: JointState, ts, ps):
 
 
 def _band_maps_adj(sys, plan, m, ts, ps) -> JointState:
-    a = amp._sqrtS(sys, amp._project_bands_T(sys, plan, amp._synth_T(plan, m)))
+    if sys.F_pix is not None:
+        a = amp._sqrtS(sys, amp._forward_pixmix_T(sys, plan, m))
+    else:
+        a = amp._sqrtS(sys, amp._project_bands_T(sys, plan,
+                                                 amp._synth_T(plan, m)))
     t = _templates_adj(ts, m) if ts is not None else None
     p = _ptsrc_adj(ps, m) if ps is not None else None
     return JointState(a=a, t=t, p=p)
