@@ -48,9 +48,21 @@ def pixel_window(nside: int, lmax: int) -> np.ndarray:
     return np.interp(x, np.arange(base_lmax + 1, dtype=np.float64), w128)
 
 
+def _pixwin_cache_path(nside: int, lmax: int, ratio: int) -> str:
+    import os
+    d = os.path.join(os.path.expanduser("~"), ".cache", "commander_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"pixwin_n{nside}_l{lmax}_r{ratio}.npy")
+
+
 @functools.lru_cache(maxsize=None)
 def pixel_window_exact(nside: int, lmax: int, ratio: int = 8) -> np.ndarray:
     """Exact HEALPix pixel window w_ell by sub-pixel quadrature.
+
+    The quadrature costs minutes of host CPU (it dominated the round-4
+    tutorial-scale init); the result is a pure function of
+    (nside, lmax, ratio), so it is DISK-cached under
+    ~/.cache/commander_tpu and computed at most once per machine.
 
     The reference reads the HEALPix pixel_window_n????.fits tables
     (external data); here the table is COMPUTED from the definition
@@ -62,8 +74,21 @@ def pixel_window_exact(nside: int, lmax: int, ratio: int = 8) -> np.ndarray:
     exact 4-fold symmetry, so pixels j and j + nphi/4 are congruent and
     |<Y_lm>|^2 is invariant under the rotation.
     """
+    import os
+
     from ..sphere import healpix
     from ..sphere.wigner import wigner_d_table_fast
+
+    # precomputed tables ship as package data (instrument/data); the
+    # user cache covers other (nside, lmax, ratio) combinations
+    pkg = os.path.join(os.path.dirname(__file__), "data",
+                       f"pixwin_n{nside}_l{lmax}_r{ratio}.npy")
+    cpath = _pixwin_cache_path(nside, lmax, ratio)
+    for cand in (pkg, cpath):
+        if os.path.exists(cand):
+            w = np.load(cand)
+            if w.shape == (lmax + 1,):
+                return w
 
     g = healpix.ring_geometry(nside)
     nside_hi = nside * ratio
@@ -89,10 +114,20 @@ def pixel_window_exact(nside: int, lmax: int, ratio: int = 8) -> np.ndarray:
         phase = np.exp(1j * m[None, None, :] * ph[..., None])  # (nq,fac,nm)
         P = np.zeros((nq, len(uth), lmax + 1), np.complex128)
         np.add.at(P, (np.arange(nq)[:, None].repeat(fac, 1), tidx), phase)
-        A = np.einsum("tlm,ptm->plm", d, P) / fac
-        acc += 4.0 * np.einsum("m,plm->l", eps, np.abs(A) ** 2)
+        # sum_p |sum_t d_t P_pt|^2 = sum_{t,t'} d_t d_t' G_tt' with the
+        # small Gram matrix G(t,t',m) = sum_p P conj(P) — O(nuth^2)
+        # instead of O(nq x nuth) per (l, m): ~30x fewer flops (this
+        # quadrature dominated the round-4 init at 1691 s)
+        G = np.einsum("ptm,pum->tum", P, np.conj(P)).real
+        acc += 4.0 * np.einsum("m,tlm,ulm,tum->l", eps, d, d, G,
+                               optimize=True) / (fac * fac)
     # |<Y>|^2 = (2l+1)/4pi |A|^2; w^2 = 4pi/(npix(2l+1)) sum -> sum/npix
-    return np.sqrt(np.maximum(acc / g.npix, 0.0))
+    w = np.sqrt(np.maximum(acc / g.npix, 0.0))
+    try:
+        np.save(cpath, w)
+    except OSError:
+        pass
+    return w
 
 
 def apply_bl(alm: jnp.ndarray, bl: jnp.ndarray) -> jnp.ndarray:
