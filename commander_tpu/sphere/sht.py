@@ -48,6 +48,7 @@ from .wigner import spin_lambda_north
     data_fields=["lam0", "lam_p2", "lam_m2", "parity", "lmmask", "synth_A",
                  "synth_Vh", "synth_B", "ana_A", "ana_Vh", "ana_B", "pix_idx",
                  "pad_src", "pad_valid", "ring_weight", "qw", "otf0",
+                 "otf_p2", "otf_m2",
                  "belt_phase", "cap_sA", "cap_sVh", "cap_sB", "cap_aA",
                  "cap_aVh", "cap_aB"],
     meta_fields=["nside", "lmax", "mmax", "rdtype", "cdtype", "Ls", "La",
@@ -85,6 +86,10 @@ class SHTPlan:
     # On-the-fly Legendre recurrence (sht_otf.LegendreOTF) used instead of
     # the lam0 table when tables=False — enables lmax beyond table memory.
     otf0: object = None
+    # spin-2 OTF recurrences (tables=False polarized plans):
+    # otf_p2 ~ lam_p2 (d^l_{m,-2}), otf_m2 ~ lam_m2 (d^l_{m,+2})
+    otf_p2: object = None
+    otf_m2: object = None
     # --- belt/cap split ring stage (the fast local path) ---
     # The 2*nside+1 equatorial-belt rings all have nphi = 4*nside, so their
     # Fourier stage is ONE power-of-2 (i)FFT of length 4*nside plus a phase
@@ -296,11 +301,21 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
     # cast on host first: the TPU backend cannot ingest float64 buffers,
     # and device-side convert_element_type would require an f64 H2D.
     otf0 = None
+    otf_p2 = otf_m2 = None
     if not tables:
         from .sht_otf import legendre_otf
         otf0 = legendre_otf(nside, lmax, 0, dtype=dtype,
                             chunk=min(otf_chunk, lmax + 1), mmax=mmax,
                             backend=legendre_backend)
+        if spin2:
+            # naming mirrors the tables: lam_p2 holds d^l_{m,-2}
+            # (spin_lambda_north, wigner.py:276-296)
+            otf_p2 = legendre_otf(nside, lmax, -2, dtype=dtype,
+                                  chunk=min(otf_chunk, lmax + 1),
+                                  mmax=mmax, backend=legendre_backend)
+            otf_m2 = legendre_otf(nside, lmax, 2, dtype=dtype,
+                                  chunk=min(otf_chunk, lmax + 1),
+                                  mmax=mmax, backend=legendre_backend)
 
     dev = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(rdtype)))
     devc = lambda x: jnp.asarray(np.asarray(x, dtype=np.dtype(cdtype)))
@@ -317,7 +332,7 @@ def get_plan(nside: int, lmax: int, mmax: int | None = None, spin2: bool = False
         pad_src=jnp.asarray(pad_src.astype(np.int32)),
         pad_valid=dev(pad_valid),
         ring_weight=dev(w), qw=dev(w),
-        otf0=otf0,
+        otf0=otf0, otf_p2=otf_p2, otf_m2=otf_m2,
         split=split, cap_groups=cap_groups, mat_prec=precision,
         belt_phase=devc(belt_phase) if split else None,
         cap_sA=tuple(devc(x) for x in cap_sA),
@@ -657,6 +672,56 @@ def smooth_map(plan: SHTPlan, maps: jax.Array, fwhm_arcmin: float,
     return alm2map(plan, a * bl[:, None])
 
 
+def _legendre_synth_spin2_otf(plan: SHTPlan, cp: jax.Array,
+                              cm: jax.Array):
+    """OTF (tableless) twin of _legendre_synth_spin2: the parity-folded
+    south streams of the spin-2 kernels come out of the OPPOSITE-spin
+    recurrence, exactly as the table path pairs lam_p2/lam_m2 through
+    plan.parity (the OTF kernels fold (-1)^(l+m) into their F_s)."""
+    from .sht_otf import synth_legendre_otf
+
+    cp = (cp * plan.lmmask).astype(plan.cdtype)
+    cm = (cm * plan.lmmask).astype(plan.cdtype)
+    both = jnp.stack([cp, cm], axis=0)           # (2, ..., nl, nm)
+    Np2, Sp2 = synth_legendre_otf(plan.otf_p2, None, both, plan.nh)
+    Nm2, Sm2 = synth_legendre_otf(plan.otf_m2, None, both, plan.nh)
+    Sp_n, Sm_s = Np2[0], Sp2[1]
+    Sm_n, Sp_s = Nm2[1], Sm2[0]
+    Sp = jnp.concatenate(
+        [Sp_n, jnp.flip(Sp_s[..., : plan.nh - 1, :], axis=-2)], axis=-2)
+    Sm = jnp.concatenate(
+        [Sm_n, jnp.flip(Sm_s[..., : plan.nh - 1, :], axis=-2)], axis=-2)
+    return Sp, Sm
+
+
+def _legendre_adjoint_spin2_otf(plan: SHTPlan, Gp: jax.Array,
+                                K: jax.Array):
+    """OTF twin of _legendre_adjoint_spin2. Zero-padded batch entries
+    separate the north/south contributions that the fused OTF adjoint
+    would otherwise sum into one output."""
+    from .sht_otf import adjoint_legendre_otf
+
+    nh = plan.nh
+
+    def split(X):
+        X_n = X[..., :nh, :]
+        X_s = jnp.flip(X[..., nh:, :], axis=-2)
+        pad = nh - X_s.shape[-2]
+        X_s = jnp.pad(X_s, [(0, 0)] * (X.ndim - 2) + [(0, pad), (0, 0)])
+        return X_n, X_s
+
+    Gp_n, Gp_s = split(Gp)
+    K_n, K_s = split(K)
+    z = jnp.zeros_like(Gp_n)
+    A = adjoint_legendre_otf(plan.otf_p2, jnp.stack([Gp_n, z], axis=0),
+                             jnp.stack([z, K_s], axis=0))
+    B = adjoint_legendre_otf(plan.otf_m2, jnp.stack([K_n, z], axis=0),
+                             jnp.stack([z, Gp_s], axis=0))
+    Up = (A[0] + B[1]) * plan.lmmask
+    Um = (B[0] + A[1]) * plan.lmmask
+    return Up, Um
+
+
 # ---------------------------------------------------------------------------
 # Public transforms — spin 2 (polarization)
 # ---------------------------------------------------------------------------
@@ -665,10 +730,14 @@ def alm2map_spin2(plan: SHTPlan, alm_E: jax.Array, alm_B: jax.Array):
     """(E, B) alms -> (Q, U) maps. HEALPix convention:
     Q + iU = sum_lm [-(E + iB)]_lm (+2)Y_lm  (m summed over both signs).
     """
-    assert plan.lam_p2 is not None, "plan built without spin2=True"
+    assert plan.lam_p2 is not None or plan.otf_p2 is not None, \
+        "plan built without spin2=True"
     cp = -(alm_E + 1j * alm_B).astype(plan.cdtype)   # coeff of +2Y
     cm = -(alm_E - 1j * alm_B).astype(plan.cdtype)   # coeff of -2Y
-    Sp, Sm = _legendre_synth_spin2(plan, cp, cm)
+    if plan.lam_p2 is None:
+        Sp, Sm = _legendre_synth_spin2_otf(plan, cp, cm)
+    else:
+        Sp, Sm = _legendre_synth_spin2(plan, cp, cm)
     # P(p) = sum_{m>=0} Sp_m e^{im phi} + sum_{m>=1} conj(Sm_m) e^{-im phi}
     mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((plan.mmax,))]).astype(plan.rdtype)
     P = ring_synthesis(plan, Sp) + jnp.conj(ring_synthesis(plan, Sm * mpos))
@@ -686,12 +755,15 @@ def alm2map_spin2_adjoint(plan: SHTPlan, Q: jax.Array, U: jax.Array):
       E_hat = -(U+ + U-) / eps_m,   B_hat = i (U+ - U-)/... (conjugation
     folded so that only real tables multiply complex ring spectra).
     """
-    assert plan.lam_p2 is not None
+    assert plan.lam_p2 is not None or plan.otf_p2 is not None
     P = (Q + 1j * U).astype(plan.cdtype)
     fpad_p = _pad_to_rings(plan, P)
     Gp = ring_analysis(plan, fpad_p)
     K = ring_analysis(plan, jnp.conj(fpad_p))
-    Up, Um = _legendre_adjoint_spin2(plan, Gp, K)
+    if plan.lam_p2 is None:
+        Up, Um = _legendre_adjoint_spin2_otf(plan, Gp, K)
+    else:
+        Up, Um = _legendre_adjoint_spin2(plan, Gp, K)
     mpos = jnp.concatenate([jnp.zeros((1,)), jnp.ones((plan.mmax,))]).astype(plan.rdtype)
     Um = Um * mpos
     eps = jnp.concatenate([jnp.ones((1,)), 2.0 * jnp.ones((plan.mmax,))]).astype(plan.rdtype)
@@ -735,7 +807,10 @@ def map2alm_spin2(plan: SHTPlan, Q: jax.Array, U: jax.Array):
     Gp = ring_analysis(plan, fpad)
     K = ring_analysis(plan, jnp.conj(fpad))
     # (+2)a_lm and (-2)a_lm quadrature estimates (valid for all m >= 0):
-    a_p2, a_m2 = _legendre_adjoint_spin2(plan, Gp, K)
+    if plan.lam_p2 is None:
+        a_p2, a_m2 = _legendre_adjoint_spin2_otf(plan, Gp, K)
+    else:
+        a_p2, a_m2 = _legendre_adjoint_spin2(plan, Gp, K)
     Eh = -(a_p2 + a_m2) / 2.0
     Bh = 1j * (a_p2 - a_m2) / 2.0
     return Eh, Bh

@@ -161,3 +161,40 @@ def test_deep_mode_emergence_accuracy():
                     (m, r, l, got, ref)
                 checked += 1
     assert checked >= 30
+
+
+def test_otf_spin2_matches_table_path():
+    """Round-5: tableless polarized plans (the production route at
+    nside >= 512 where spin-2 tables exceed HBM) must match the table
+    path for Y_spin2, its adjoint, and quadrature analysis."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from commander_tpu.sphere import sht
+
+    nside, lmax = 32, 64
+    pt = sht.get_plan(nside, lmax, dtype="float64", spin2=True)
+    po = sht.get_plan(nside, lmax, dtype="float64", spin2=True,
+                      tables=False)
+    rng = np.random.default_rng(0)
+    nl = lmax + 1
+    tri = np.tril(np.ones((nl, nl)))
+    mk = lambda: jnp.asarray((rng.standard_normal((2, nl, nl))
+                              + 1j * rng.standard_normal((2, nl, nl)))
+                             * tri)
+    aE, aB = mk(), mk()
+    Qt, Ut = sht.alm2map_spin2(pt, aE, aB)
+    Qo, Uo = sht.alm2map_spin2(po, aE, aB)
+    sc = float(jnp.abs(Qt).max())
+    assert float(jnp.abs(Qo - Qt).max()) < 1e-8 * sc
+    assert float(jnp.abs(Uo - Ut).max()) < 1e-8 * sc
+    Et, Bt = sht.alm2map_spin2_adjoint(pt, Qt, Ut)
+    Eo, Bo = sht.alm2map_spin2_adjoint(po, Qt, Ut)
+    sce = float(jnp.abs(Et).max())
+    assert float(jnp.abs(Eo - Et).max()) < 1e-8 * sce
+    assert float(jnp.abs(Bo - Bt).max()) < 1e-8 * sce
+    E2t, B2t = sht.map2alm_spin2(pt, Qt, Ut)
+    E2o, B2o = sht.map2alm_spin2(po, Qt, Ut)
+    sc2 = float(jnp.abs(E2t).max())
+    assert float(jnp.abs(E2o - E2t).max()) < 1e-8 * sc2
+    assert float(jnp.abs(B2o - B2t).max()) < 1e-8 * sc2
