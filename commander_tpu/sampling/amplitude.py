@@ -110,7 +110,12 @@ def build_system(F, bl, rms, cl, data, mask=None, cov_qu=None,
     safe = jnp.where(good, rms, 1.0)
     inv_rms = jnp.where(good, 1.0 / safe, 0.0)
     nl = bl.shape[-1]
-    tri = jnp.asarray(triangle_mask(nl, nl))
+    # tri must follow the system's real dtype: an f64 mask would upcast
+    # every sqrtS product under jax_enable_x64 (f32 systems then carry
+    # complex128 alms while t/p rows stay f32 — a while_loop carry
+    # dtype mismatch in the joint CG)
+    tri = jnp.asarray(triangle_mask(nl, nl),
+                      dtype=jnp.asarray(data).real.dtype)
     inv_qu = sqrt_inv_qu = None
     if cov_qu is not None:
         inv_qu = jnp.linalg.inv(jnp.asarray(cov_qu))

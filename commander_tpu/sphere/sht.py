@@ -779,21 +779,25 @@ def alm2map_teb(plan: SHTPlan, alm: jax.Array) -> jax.Array:
     Stokes in one libsharp job; here T uses spin-0, (E,B) spin-2)."""
     T = alm2map(plan, alm[..., 0, :, :])
     Q, U = alm2map_spin2(plan, alm[..., 1, :, :], alm[..., 2, :, :])
-    return jnp.stack([T, Q, U], axis=-2)
+    # stack on a LEADING axis then moveaxis: stacking directly at -2
+    # makes XLA:TPU pick an npix-major layout for the (..., 3, npix)
+    # result, whose (…,3) minor dims tile to (4,128) — a 170x HBM
+    # padding blow-up observed at nside 512 (round-5 shakeout OOM)
+    return jnp.moveaxis(jnp.stack([T, Q, U], axis=0), 0, -2)
 
 
 def alm2map_teb_adjoint(plan: SHTPlan, maps: jax.Array) -> jax.Array:
     """Adjoint of alm2map_teb: (..., 3, npix) -> (..., 3, nl, nm)."""
     T = alm2map_adjoint(plan, maps[..., 0, :])
     E, B = alm2map_spin2_adjoint(plan, maps[..., 1, :], maps[..., 2, :])
-    return jnp.stack([T, E, B], axis=-3)
+    return jnp.moveaxis(jnp.stack([T, E, B], axis=0), 0, -3)
 
 
 def map2alm_teb(plan: SHTPlan, maps: jax.Array) -> jax.Array:
     """Quadrature analysis for [T,Q,U] -> [T,E,B] (YtW, polarized)."""
     T = map2alm(plan, maps[..., 0, :])
     E, B = map2alm_spin2(plan, maps[..., 1, :], maps[..., 2, :])
-    return jnp.stack([T, E, B], axis=-3)
+    return jnp.moveaxis(jnp.stack([T, E, B], axis=0), 0, -3)
 
 
 def map2alm_spin2(plan: SHTPlan, Q: jax.Array, U: jax.Array):

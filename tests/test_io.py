@@ -53,7 +53,7 @@ def test_lower_reference_tutorial():
     cfg = lower_params(Params.load(REF_PARAM))
     assert cfg.num_gibbs_iter == 1000
     assert cfg.cg_maxiter == 300
-    assert [b.label for b in cfg.bands] == ["30", "44", "70"]
+    assert [b.label for b in cfg.bands] == ["030", "044", "070"]
     labels = [c.label for c in cfg.comps]
     for expected in ("cmb", "synch", "dust", "md", "radio", "ff", "ame",
                      "relquad"):
