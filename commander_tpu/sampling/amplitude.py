@@ -362,7 +362,11 @@ def build_preconditioner(sys: AmplitudeSystem, plan):
     # G[s,l,c,d] = sum_b F_bc b_l F_bd b_l kappa_b
     G = jnp.einsum("bcsl,bdsl,bs->slcd", fb, fb, kappa, precision=jax.lax.Precision.HIGHEST)
     S_half = jnp.einsum("csl->slc", sqcl)
-    M = jnp.eye(sys.F.shape[1]) + S_half[..., :, None] * G * S_half[..., None, :]
+    # dtype-pinned eye: the f64 default under jax_enable_x64 would
+    # upcast the whole preconditioner (and then the CG carry) for f32
+    # systems
+    M = jnp.eye(sys.F.shape[1], dtype=G.dtype) \
+        + S_half[..., :, None] * G * S_half[..., None, :]
     # Jacobi equilibration before the batched inverse: at production lmax
     # the S^1/2 G S^1/2 entries span ~1e10 of dynamic range and a plain
     # f32 inverse loses the small eigendirections (CG stalls at ~1e-1

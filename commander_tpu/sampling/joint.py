@@ -204,18 +204,29 @@ def _templates_adj(ts: TemplateSet, m):
 
 
 def _ptsrc_fwd(ps: PtsrcSet, p, npix: int):
-    """amps (nsrc,) -> maps (B,S,P) via scatter-add of stamps."""
+    """amps (nsrc,) -> maps (B,S,P) via scatter-add of stamps.
+
+    The scatter runs on a FLAT (B*S*P,) buffer: a last-axis scatter on
+    a (B,S,P) operand makes XLA:TPU assign the scattered dim major, and
+    the tiny (B,S) minor dims then tile to (4,128) — a 57x HBM padding
+    blow-up on every consumer of the result (round-5 nside-512 OOM)."""
     vals = ps.stamp * p[None, None, :, None]        # (B,S,nsrc,npatch)
     B, S = vals.shape[0], vals.shape[1]
-    flat_idx = ps.pix.reshape(-1)                   # (nsrc*npatch,)
-    out = jnp.zeros((B, S, npix), vals.dtype)
-    return out.at[:, :, flat_idx].add(vals.reshape(B, S, -1))
+    flat_pix = ps.pix.reshape(-1)                   # (nsrc*npatch,)
+    idx = ((jnp.arange(B * S) * npix)[:, None]
+           + flat_pix[None, :]).reshape(-1)
+    out = jnp.zeros((B * S * npix,), vals.dtype)
+    out = out.at[idx].add(vals.reshape(-1))
+    return out.reshape(B, S, npix)
 
 
 def _ptsrc_adj(ps: PtsrcSet, m):
-    """maps (B,S,P) -> amps (nsrc,)."""
-    gath = m[:, :, ps.pix.reshape(-1)].reshape(m.shape[0], m.shape[1],
-                                               *ps.pix.shape)
+    """maps (B,S,P) -> amps (nsrc,) (flat gather; see _ptsrc_fwd)."""
+    B, S, npix = m.shape
+    flat_pix = ps.pix.reshape(-1)
+    idx = ((jnp.arange(B * S) * npix)[:, None]
+           + flat_pix[None, :]).reshape(-1)
+    gath = m.reshape(-1)[idx].reshape(B, S, *ps.pix.shape)
     return jnp.einsum("bsnk,bsnk->n", gath, ps.stamp)
 
 
