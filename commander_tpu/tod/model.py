@@ -542,38 +542,80 @@ def bin_tod(calib_tod, pix, psi, mask, inv_var, npix: int, pol: bool):
     sin2psi) (or (1,) for T-only); w = mask/sigma0^2. One segment_sum over
     flattened samples replaces the reference's node-shared accumulation
     loops (bin_TOD comm_tod_mapmaking_mod.f90:34-94).
-    Returns (A (npix,k,k), b (npix,k))."""
+    Returns PACKED normal equations (A (kk, npix) upper-triangle
+    components, b (k, npix)): any (npix, 3, 3) array on TPU tiles its
+    tiny minor dims to (4, 128) — a 57x HBM padding blow-up (round-5
+    nside-512 OOM) — so the per-pixel systems are carried as component
+    planes and solved in closed form."""
     w = (mask * inv_var[..., None]).reshape(-1)
     d = calib_tod.reshape(-1)
     p = pix.reshape(-1)
+    seg = lambda v: jax.ops.segment_sum(v, p, num_segments=npix)
     if pol:
         c = jnp.cos(2.0 * psi).reshape(-1)
         s = jnp.sin(2.0 * psi).reshape(-1)
-        one = jnp.ones_like(c)
-        u = jnp.stack([one, c, s], -1)                    # (N, 3)
+        A = jnp.stack([seg(w), seg(w * c), seg(w * s), seg(w * c * c),
+                       seg(w * c * s), seg(w * s * s)])  # (6, npix)
+        wd = w * d
+        b = jnp.stack([seg(wd), seg(wd * c), seg(wd * s)])
     else:
-        u = jnp.ones((d.shape[0], 1), d.dtype)
-    uu = u[:, :, None] * u[:, None, :] * w[:, None, None]
-    du = u * (w * d)[:, None]
-    A = jax.ops.segment_sum(uu, p, num_segments=npix)
-    b = jax.ops.segment_sum(du, p, num_segments=npix)
+        A = seg(w)[None]
+        b = seg(w * d)[None]
     return A, b
 
 
+def pack_sym3(A):
+    """(npix, 3, 3) symmetric -> packed (6, npix) upper components."""
+    return jnp.stack([A[:, 0, 0], A[:, 0, 1], A[:, 0, 2],
+                      A[:, 1, 1], A[:, 1, 2], A[:, 2, 2]])
+
+
 def finalize_binned_map(key, A, b, reg: float = 1e-20):
-    """Solve per-pixel systems, return (maps (k,npix), rms (k,npix), and a
-    white-noise fluctuation map) — finalize_binned_map
-    (comm_tod_mapmaking_mod.f90:96-299). Unhit pixels -> 0 map, 0 weight."""
-    k = A.shape[-1]
-    hit = A[:, 0, 0] > 0
-    Areg = A + reg * jnp.eye(k)
-    # condition check via determinant of the 3x3 (or scalar)
-    Ainv = jnp.linalg.inv(Areg + (~hit)[:, None, None] * jnp.eye(k))
-    m = jnp.einsum("pij,pj->pi", Ainv, b)
-    var = jnp.diagonal(Ainv, axis1=-2, axis2=-1)
-    rms = jnp.sqrt(jnp.maximum(var, 0.0))
+    """Solve the packed per-pixel systems in closed form; returns
+    (maps (k,npix), rms (k,npix), white-noise fluctuation map) —
+    finalize_binned_map (comm_tod_mapmaking_mod.f90:96-299). Unhit
+    pixels -> 0 map, 0 weight. A: (1, npix) for T-only, (6, npix)
+    packed symmetric for polarized binning (see bin_tod)."""
     eta = jax.random.normal(key, b.shape, b.dtype)
-    L = jnp.linalg.cholesky(Ainv + (~hit)[:, None, None] * jnp.eye(k))
-    fluct = jnp.einsum("pij,pj->pi", L, eta)
-    zero = hit[:, None]
-    return (m * zero).T, (rms * zero).T, (fluct * zero).T
+    hit = A[0] > 0
+    if A.shape[0] == 1:
+        a = jnp.where(hit, A[0] + reg, 1.0)
+        inv = jnp.where(hit, 1.0 / a, 0.0)
+        m = inv * b[0]
+        rms = jnp.sqrt(inv)
+        return m[None], rms * hit[None].astype(rms.dtype), \
+            (jnp.sqrt(inv) * eta[0])[None]
+    a = jnp.where(hit, A[0] + reg, 1.0)
+    bq = jnp.where(hit, A[1], 0.0)
+    c = jnp.where(hit, A[2], 0.0)
+    dd = jnp.where(hit, A[3] + reg, 1.0)
+    e = jnp.where(hit, A[4], 0.0)
+    f = jnp.where(hit, A[5] + reg, 1.0)
+    # symmetric 3x3 inverse by cofactors (elementwise planes)
+    C00 = dd * f - e * e
+    C01 = c * e - bq * f
+    C02 = bq * e - c * dd
+    det = a * C00 + bq * C01 + c * C02
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    i00 = C00 / det
+    i01 = C01 / det
+    i02 = C02 / det
+    i11 = (a * f - c * c) / det
+    i12 = (c * bq - a * e) / det
+    i22 = (a * dd - bq * bq) / det
+    m = jnp.stack([i00 * b[0] + i01 * b[1] + i02 * b[2],
+                   i01 * b[0] + i11 * b[1] + i12 * b[2],
+                   i02 * b[0] + i12 * b[1] + i22 * b[2]])
+    rms = jnp.sqrt(jnp.maximum(jnp.stack([i00, i11, i22]), 0.0))
+    # explicit Cholesky of the 3x3 inverse for the fluctuation draw
+    L00 = jnp.sqrt(jnp.maximum(i00, 1e-30))
+    L10 = i01 / L00
+    L20 = i02 / L00
+    L11 = jnp.sqrt(jnp.maximum(i11 - L10 * L10, 1e-30))
+    L21 = (i12 - L20 * L10) / L11
+    L22 = jnp.sqrt(jnp.maximum(i22 - L20 * L20 - L21 * L21, 0.0))
+    fluct = jnp.stack([L00 * eta[0],
+                       L10 * eta[0] + L11 * eta[1],
+                       L20 * eta[0] + L21 * eta[1] + L22 * eta[2]])
+    z = hit[None].astype(m.dtype)
+    return m * z, rms * z, fluct * z

@@ -195,8 +195,11 @@ def process_tod(cfg: TodConfig, block: M.TodBlock, state: M.TodState,
                                     nstep=cfg.mono_nstep,
                                     sigma_prop=cfg.mono_sigma_prop,
                                     mono0=mono)
-        b = b_ext[:, :kst] - jnp.einsum("pkd,d->pk", A_ext[:, :kst, kst:],
-                                        mono_new)
+        b_m = b_ext[:, :kst] - jnp.einsum("pkd,d->pk", A_ext[:, :kst, kst:],
+                                          mono_new)
+        # repack to the component-plane layout of bin_tod/finalize
+        A = M.pack_sym3(A) if kst == 3 else A[:, 0, 0][None]
+        b = b_m.T
     else:
         A, b = M.bin_tod(calib, block.pix, block.psi,
                          block.mask, inv_var, npix, cfg.pol)

@@ -87,7 +87,7 @@ def test_binmap_recovers_sky(sim):
     A, b = M.bin_tod(calib, block.pix, block.psi, block.mask, inv_var,
                      NPIX, pol=False)
     m, rms, fluct = M.finalize_binned_map(jax.random.PRNGKey(0), A, b)
-    hits = np.asarray(A[:, 0, 0]) > 0
+    hits = np.asarray(A[0]) > 0    # packed normal equations (kk, npix)
     assert hits.mean() > 0.4   # the 10-scan strategy covers a good fraction
     np.testing.assert_allclose(np.asarray(m[0])[hits], sky[0][hits],
                                rtol=1e-6, atol=1e-6)
