@@ -596,6 +596,11 @@ def finalize_binned_map(key, A, b, reg: float = 1e-20):
     C01 = c * e - bq * f
     C02 = bq * e - c * dd
     det = a * C00 + bq * C01 + c * C02
+    # determinant condition check (the reference rejects ill-conditioned
+    # pixels in finalize_binned_map, comm_tod_mapmaking_mod.f90:96-299):
+    # undersampled polarized pixels (< 3 well-spread psi hits) are
+    # treated as unhit, not solved into garbage
+    hit = hit & (det > 1e-9 * a * dd * f)
     det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
     i00 = C00 / det
     i01 = C01 / det
