@@ -195,6 +195,13 @@ def _grid_lnL_total(comp, bps, cfg: SpecIndConfig, res, amp_pix,
             jnp.asarray(mixing_element(comp, bp, th)), (P,))
             for bp in bps])                              # (B, P)
         if lnl_type in ("ridge", "marginal"):
+            if amp_band is not None:
+                # beam-consistent template ratio (see _grid_lnL_pixel)
+                F = F * jnp.where(
+                    jnp.abs(amp_pix[None, 0]) > 1e-30,
+                    amp_band[:, 0] / jnp.where(
+                        jnp.abs(amp_pix[None, 0]) > 1e-30,
+                        amp_pix[None, 0], 1.0), 1.0)
             MNd = jnp.einsum("bp,bsp,bsp->p", F, inv_rms2, res)
             MNM = jnp.einsum("bp,bsp,bp->p", F, inv_rms2, F)
             lnl_p = jnp.where(MNM > 0,
@@ -205,8 +212,8 @@ def _grid_lnL_total(comp, bps, cfg: SpecIndConfig, res, amp_pix,
                     MNM > 0, 0.5 * jnp.log(jnp.maximum(MNM, 1e-300)),
                     0.0)
             return jnp.sum(lnl_p)
-        if amp_pix.ndim == 3:                            # (B, S, P) beamed
-            model = F[:, None, :] * amp_pix
+        if amp_band is not None:                         # (B, S, P) beamed
+            model = F[:, None, :] * amp_band
         else:
             model = F[:, None, :] * amp_pix[None]        # (B, S, P)
         return -0.5 * jnp.sum(inv_rms2 * jnp.square(res - model))
