@@ -293,6 +293,12 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
         sky = _synth_bands_accel(sys0, plan, a_true, dtype, pol=pol)
         _trace("band-sky synthesis")
         data = sky + rms * rng.standard_normal(sky.shape)
+        # NOISELESS truth sky for the synthetic TOD simulator: feeding
+        # sys.data (sky + map noise) into simulate_tod bakes the map
+        # noise in as signal, so the binned rms understates the real
+        # error and the TOD noise-PSD sampler inflates sigma0 without
+        # bound (the round-5 nside>=128 NaN runaway)
+        sky_true = np.asarray(sky)
         _trace("noise draw")
         truth = np.asarray(jnp.stack([a_true.real, a_true.imag]))
     else:
@@ -385,6 +391,8 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
     meta = {"nside": nside, "lmax": lmax, "nmaps": S,
             "comps": [d.name for d in diffuse],
             "bands": [b.label for b in cfg.bands]}
+    if synthetic:
+        meta["sky_true"] = sky_true
     # pair each runtime diffuse component with its parameter-file config
     pcfgs = [c for c in cfg.comps if c.cclass == "diffuse" and c.ctype not in
              ("md", "cmb_relquad", "template")]
@@ -564,6 +572,9 @@ def build_model(cfg, nside=None, lmax=None, synthetic=False, seed=0,
             extra = joint_mod._ptsrc_fwd(ps, jnp.asarray(p_true, dtype),
                                          npix)
             sys = dataclasses.replace(sys, data=sys.data + extra)
+            if synthetic and truth is not None:
+                meta["sky_true"] = meta.get("sky_true", 0.0) \
+                    + np.asarray(extra)
             meta["nsrc"] = nsrc
             meta["ptsrc_true"] = p_true
         elif c.catalog:
@@ -702,10 +713,17 @@ def _setup_tod_aux(cfg, band, block, meta, nside, data_dir, dtype, kind,
     return aux
 
 
-def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=()):
+def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=(),
+                         sky_true=None):
     """Simulate TOD blocks per band from the current synthetic sky — the
     stand-in for reading real archives (read_tod, comm_tod_mod.f90) so the
-    full TOD->mapmaking->component-separation loop runs end to end."""
+    full TOD->mapmaking->component-separation loop runs end to end.
+
+    sky_true: the NOISELESS band sky (build_model meta['sky_true']).
+    Without it the simulator falls back to sys.data, which bakes the
+    map-level noise in as signal — acceptable only at test scale (the
+    binned rms then understates the error and the noise-PSD sampler
+    inflates sigma0 run after run)."""
     import jax.numpy as jnp
     from .sampling import amplitude as amp
     from .sphere import healpix, sht
@@ -715,7 +733,8 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=()):
     from .tod.differential import simulate_tod_diff
 
     blocks = {}
-    sky0 = np.asarray(sys.data)  # synthetic data as the TOD's sky truth
+    sky0 = np.asarray(sys.data) if sky_true is None \
+        else np.asarray(sky_true)
     for b, band in enumerate(cfg.bands):
         if band.tod_type in (None, "none") or b in skip:
             continue  # archive-backed bands load via _setup_archive_tod
@@ -1612,7 +1631,8 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
         _t_tod0 = time.time()
         synth = _setup_synthetic_tod(cfg, plan, sys, diffuse,
                                      meta["nside"], seed=cfg.base_seed,
-                                     skip=set(tod_blocks))
+                                     skip=set(tod_blocks),
+                                     sky_true=meta.get("sky_true"))
         if os.environ.get("COMMANDER_TPU_INIT_TRACE"):
             print(f"[init] synthetic TOD sim {time.time() - _t_tod0:.1f}s",
                   flush=True)

@@ -600,14 +600,17 @@ def finalize_binned_map(key, A, b, reg: float = 1e-20):
     # pixels in finalize_binned_map, comm_tod_mapmaking_mod.f90:96-299):
     # undersampled polarized pixels (< 3 well-spread psi hits) are
     # treated as unhit, not solved into garbage
-    hit = hit & (det > 1e-9 * a * dd * f)
+    hit = hit & (det > 1e-3 * a * dd * f)
     det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    i00 = C00 / det
-    i01 = C01 / det
-    i02 = C02 / det
-    i11 = (a * f - c * c) / det
-    i12 = (c * bq - a * e) / det
-    i22 = (a * dd - bq * bq) / det
+    # reset rejected pixels to the identity BEFORE any division: masking
+    # only the outputs leaves inf/NaN from near-singular systems alive
+    # (inf * 0 = NaN poisoned the fluctuation map)
+    i00 = jnp.where(hit, C00 / det, 1.0)
+    i01 = jnp.where(hit, C01 / det, 0.0)
+    i02 = jnp.where(hit, C02 / det, 0.0)
+    i11 = jnp.where(hit, (a * f - c * c) / det, 1.0)
+    i12 = jnp.where(hit, (c * bq - a * e) / det, 0.0)
+    i22 = jnp.where(hit, (a * dd - bq * bq) / det, 1.0)
     m = jnp.stack([i00 * b[0] + i01 * b[1] + i02 * b[2],
                    i01 * b[0] + i11 * b[1] + i12 * b[2],
                    i02 * b[0] + i12 * b[1] + i22 * b[2]])
