@@ -1952,13 +1952,42 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                         enc_sp, _tod_enc[b][2], enc_pv, sky_d,
                         jnp.float32(it_f))
 
+            _dbg_enc = bool(os.environ.get("COMMANDER_TPU_DEBUG_ENC"))
+
+            @jax.jit
+            def _dbg_sys(e_sp, e_st):
+                s, p, _t2, _p2 = _tr.decode(spec_sp, e_sp)
+                (st,) = _tr.decode(spec_st, e_st)
+                return (jnp.isfinite(s.data).all().astype(jnp.float32),
+                        jnp.isfinite(s.inv_rms2).all().astype(
+                            jnp.float32),
+                        jnp.max(jnp.abs(s.data)).astype(jnp.float32),
+                        jnp.isfinite(jnp.abs(st.a)).all().astype(
+                            jnp.float32),
+                        jnp.isfinite(st.cl_bins).all().astype(
+                            jnp.float32))
+
+            def _dbg(tag):
+                if _dbg_enc:
+                    v = [float(np.asarray(x))
+                         for x in _dbg_sys(enc_sp, enc_st)]
+                    print(f"[enc {tag}] data_fin={v[0]} ir2_fin={v[1]} "
+                          f"dmax={v[2]:.4g} a_fin={v[3]} cl_fin={v[4]}",
+                          flush=True)
+
             # deferred warm start: presample amplitudes, then burn-in
             # TOD passes so (gain, sigma0, n_corr) converge before
             # iteration 1 (_tod_burnin semantics, on-device)
+            _dbg("pre-presample")
             enc_st, th_vec, _chi0, _cg0, _rr0 = fg_step_enc(
                 enc_sp, enc_st, th_vec, jnp.float32(0))
+            if _dbg_enc:
+                print(f"[enc presample] chi={float(np.asarray(_chi0)):.4g}"
+                      f" cg={float(np.asarray(_cg0))} "
+                      f"rr={float(np.asarray(_rr0)):.2e}", flush=True)
             for _pass in range(1 if tod_restored else 3):
                 _run_tod_enc(-1 - _pass)
+                _dbg(f"burnin {_pass}")
             jax.block_until_ready(enc_st)
             status.update(f"tod init (encoded): {len(_tod_enc)} bands "
                           f"burned in on device")

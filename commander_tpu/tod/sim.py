@@ -30,13 +30,22 @@ def great_circle_scans(nside: int, nscan: int, ndet: int, ntod: int,
     for s in range(nscan):
         # scan plane orientation precesses with scan index + jitter
         phi0 = 2.0 * np.pi * s / nscan + rng.uniform(0, 0.1)
-        tilt = 0.3 + 0.6 * (s % 7) / 7.0
+        # golden-ratio tilt ladder up to polar orbits: the old 7-tilt
+        # family capped |z| at sin(0.9) ~ 0.78, leaving the polar caps
+        # permanently unobserved (partial-coverage CG pathology)
+        tilt = 0.25 + (np.pi / 2 - 0.25) * ((s * 0.6180339887) % 1.0)
         for d in range(ndet):
             off = 0.05 * d
             x = np.stack([
                 np.cos(t + off) * np.cos(phi0) - np.sin(t + off) * np.sin(phi0) * np.cos(tilt),
                 np.cos(t + off) * np.sin(phi0) + np.sin(t + off) * np.cos(phi0) * np.cos(tilt),
                 np.sin(t + off) * np.sin(tilt)], axis=-1)
+            # transverse dither (~0.6 deg): widens each scan ring so the
+            # strategy actually covers the sphere at high nside instead
+            # of sampling 1-pixel-wide curves (a 20%-coverage map leaves
+            # 80% of the CG system prior-only — the round-5 conditioning
+            # spiral)
+            x = x + rng.normal(scale=0.01, size=x.shape)
             x /= np.linalg.norm(x, axis=-1, keepdims=True)
             _, idx = tree.query(x)
             pix[s, d] = idx
