@@ -125,7 +125,7 @@ def sweep(nside, lmax):
                         ).astype(np.float32))
     a_im = jnp.asarray((rng.standard_normal((8, nl, nm)) * tri
                         ).astype(np.float32))
-    for prec, store in (("bf16x3", "pre"), ("highest", "pre")):
+    for prec, store in (("bf16x3", "pre"),):
         ps._MXU_PRECISION = prec
         ps._MXU_STORE = store
         for bh, lc in ((2048, 128), (2048, 256)):

@@ -527,14 +527,17 @@ def adjoint_legendre_pallas(otf: LegendreOTF, F_n: jnp.ndarray,
 def _pick_pack_T(otf: LegendreOTF, nside: int, block_h: int,
                  block_l: int):
     """Transposed coefficient pack for the MXU kernels:
-    seeds/seed_exp (nm_p8, nh_p), A/B/beta (nl_p, nm_p8, 1), x (1, nh_p)
-    with nm padded to a multiple of 8 (m on sublanes)."""
+    seeds/seed_exp (nm_p8, nh_p), A/B/beta (nm_p8, nl_p), x (1, nh_p)
+    with nm padded to a multiple of 8 (m on sublanes). Coefficients are
+    2-D m-major — (8, LC) blocks are a legal Mosaic tiling and land
+    with m already on sublanes; a trailing unit dim would tile
+    1 -> 128 lanes on HBM (2 GB per coefficient at lmax 2000, the
+    flagship OOM) and l-major blocks would need per-chunk transposes."""
     seeds, seede, A, B, beta, x = _pick_pack(otf, nside, block_h, 8,
                                              block_l)
     tr = lambda a: jnp.asarray(a).T if not isinstance(a, np.ndarray) \
         else np.ascontiguousarray(a.T)
-    c3 = lambda a: jnp.asarray(a)[:, :, None]
-    return (tr(seeds), tr(seede), c3(A), c3(B), c3(beta),
+    return (tr(seeds), tr(seede), tr(A), tr(B), tr(beta),
             jnp.asarray(x).reshape(1, -1))
 
 
@@ -543,7 +546,7 @@ def _synth_kernel_mxu(mp: int, BH: int, LC: int,
                       x_ref, a_ref, out_ref,
                       lam_s, prev_s, pe_s, cur_s, ce_s):
     """grid (h-blocks, m8-blocks, l-chunks). Blocks:
-    seeds (8, BH) @ (j, i); A/B/beta (LC, 8, 1) @ (k, j, 0);
+    seeds (8, BH) @ (j, i); A/B/beta (8, LC) @ (j, k);
     x (1, BH) @ (0, i); a [8, 4B, LC] @ (j, 0, k) — a = [a_ri; (-1)^l
     a_ri] laid out (nm, 4B, nl); out (8, 4B, BH) @ (j, 0, i) RAW
     accumulator [F_n_ri ; F~_s_ri] — the (-1)^m south sign and the
@@ -571,6 +574,9 @@ def _synth_kernel_mxu(mp: int, BH: int, LC: int,
 
     @pl.when(run)
     def _work():
+        # coefficients arrive as (8 m, LC) blocks; per l step a one-hot
+        # lane reduction extracts the (8, 1) column (Mosaic has no
+        # dynamic lane indexing)
         def substep(i_loc, carry):
             prev, prev_e, cur, cur_e = carry
             l = k * LC + i_loc
@@ -584,9 +590,14 @@ def _synth_kernel_mxu(mp: int, BH: int, LC: int,
                 lam_s[:, pl.dslice(i_loc, 1), :] = lam[:, None, :]
             else:
                 lam_s[i_loc] = lam
-            alpha = A_ref[i_loc] * x + B_ref[i_loc]      # (8,1)*(1,BH)
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, LC), 1)
+                   == i_loc).astype(jnp.float32)
+            A_l = jnp.sum(A_ref[...] * sel, axis=1, keepdims=True)
+            B_l = jnp.sum(B_ref[...] * sel, axis=1, keepdims=True)
+            bt_l = jnp.sum(beta_ref[...] * sel, axis=1, keepdims=True)
+            alpha = A_l * x + B_l                        # (8,1)*(1,BH)
             return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
-                                beta_ref[i_loc] * jnp.ones_like(x),
+                                bt_l * jnp.ones_like(x),
                                 big, bigi)
 
         out = jax.lax.fori_loop(
@@ -615,7 +626,7 @@ def synth_legendre_pallas_mxu(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
     seeds, seede, A, B, beta, x = _pick_pack_T(otf, nside, block_h,
                                                block_l)
     nm_p, nh_p = seeds.shape
-    nl_p = A.shape[0]
+    nl_p = A.shape[1]
 
     batch = alm.shape[:-2]
     a2 = alm.reshape((-1, nl, nm))
@@ -625,7 +636,7 @@ def synth_legendre_pallas_mxu(otf: LegendreOTF, alm: jnp.ndarray, nh: int,
 
     grid = (nh_p // block_h, nm_p // 8, nl_p // block_l)
     bs_seed = pl.BlockSpec((8, block_h), lambda i, j, k: (j, i))
-    bs_c = pl.BlockSpec((block_l, 8, 1), lambda i, j, k: (k, j, 0))
+    bs_c = pl.BlockSpec((8, block_l), lambda i, j, k: (j, k))
     bs_x = pl.BlockSpec((1, block_h), lambda i, j, k: (0, i))
 
     Fn_parts, Fs_parts = [], []
@@ -688,6 +699,7 @@ def _adj_kernel_mxu(mp: int, BH: int, LC: int, NCH: int,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     g = g_ref[...]                                       # (4B, 8, BH)
+    NL = A_ref.shape[1]
 
     def chunk_body(c, carry):
         def substep(i_loc, carry):
@@ -703,9 +715,14 @@ def _adj_kernel_mxu(mp: int, BH: int, LC: int, NCH: int,
                 lam_s[:, pl.dslice(i_loc, 1), :] = lam[:, None, :]
             else:
                 lam_s[i_loc] = lam
-            alpha = A_ref[l] * x + B_ref[l]
+            sel = (jax.lax.broadcasted_iota(jnp.int32, (1, NL), 1)
+                   == l).astype(jnp.float32)
+            A_l = jnp.sum(A_ref[...] * sel, axis=1, keepdims=True)
+            B_l = jnp.sum(B_ref[...] * sel, axis=1, keepdims=True)
+            bt_l = jnp.sum(beta_ref[...] * sel, axis=1, keepdims=True)
+            alpha = A_l * x + B_l
             return _rec_advance(cur2, cur_e2, prev2, prev_e2, alpha,
-                                beta_ref[l] * jnp.ones_like(x),
+                                bt_l * jnp.ones_like(x),
                                 big, bigi)
 
         carry = jax.lax.fori_loop(0, LC, substep, carry)
@@ -742,7 +759,7 @@ def adjoint_legendre_pallas_mxu(otf: LegendreOTF, F_n: jnp.ndarray,
     seeds, seede, A, B, beta, x = _pick_pack_T(otf, nside, block_h,
                                                block_l)
     nm_p, nh_p = seeds.shape
-    nl_p = A.shape[0]
+    nl_p = A.shape[1]
     parl = (1.0 - 2.0 * (np.arange(nl_p) % 2)).astype(np.float32)
     m_par = (1.0 - 2.0 * (np.arange(nm) % 2)).astype(np.float32)
 
@@ -753,7 +770,7 @@ def adjoint_legendre_pallas_mxu(otf: LegendreOTF, F_n: jnp.ndarray,
 
     grid = (nm_p // 8, nh_p // block_h)                  # rings innermost
     bs_seed = pl.BlockSpec((8, block_h), lambda j, i: (j, i))
-    bs_c = pl.BlockSpec((nl_p, 8, 1), lambda j, i: (0, j, 0))
+    bs_c = pl.BlockSpec((8, nl_p), lambda j, i: (j, 0))
     bs_x = pl.BlockSpec((1, block_h), lambda j, i: (0, i))
 
     parts = []
