@@ -202,6 +202,14 @@ class RunConfig:
     synth_tod_nscan: int = 8
     synth_tod_ndet: int = 2
     synth_tod_ntod: int = 4096
+    # per-sample white-noise sigma0 as a multiple of the mean map-level
+    # rms. The historical test default (0.05) makes binned maps ~100x
+    # more precise than the map-noise config — good for tight gain/PSD
+    # recovery tests, catastrophic for CG conditioning at scale; the
+    # flagship configs set ~sqrt(hits/pixel) so binned rms matches the
+    # map-level rms.
+    synth_tod_sigma0_scale: float = 0.05
+    synth_tod_fknee: float = 0.3       # SYNTH_TOD_FKNEE [Hz]
     output_cg_freq: int = 0               # OUTPUT_EVERY_NTH_CG_ITERATION
     almsamp_pixreg: bool = False          # ALMSAMP_PIXREG
     init_chain: 'Optional[str]' = None    # INIT_CHAIN / INIT_CHAIN01 ('file:samp')
@@ -410,6 +418,9 @@ def lower_params(p: Params) -> RunConfig:
         synth_tod_nscan=int(p.get("SYNTH_TOD_NSCAN", 8) or 8),
         synth_tod_ndet=int(p.get("SYNTH_TOD_NDET", 2) or 2),
         synth_tod_ntod=int(p.get("SYNTH_TOD_NTOD", 4096) or 4096),
+        synth_tod_sigma0_scale=float(
+            p.get("SYNTH_TOD_SIGMA0_SCALE", 0.05) or 0.05),
+        synth_tod_fknee=float(p.get("SYNTH_TOD_FKNEE", 0.3) or 0.3),
         output_cg_freq=int(p.get("OUTPUT_EVERY_NTH_CG_ITERATION", 0)
                            or 0),
         almsamp_pixreg=bool(p.get("ALMSAMP_PIXREG", False)),

@@ -745,20 +745,23 @@ def _setup_synthetic_tod(cfg, plan, sys, diffuse, nside, seed=0, skip=(),
         nscan = int(getattr(cfg, "synth_tod_nscan", 8) or 8)
         ndet = int(getattr(cfg, "synth_tod_ndet", 2) or 2)
         ntod = int(getattr(cfg, "synth_tod_ntod", 4096) or 4096)
+        s0_scale = float(getattr(cfg, "synth_tod_sigma0_scale", 0.05)
+                         or 0.05)
+        fknee = float(getattr(cfg, "synth_tod_fknee", 0.3) or 0.3)
         if kind == "WMAP":
             # differential-horn pipeline (process_WMAP_tod)
             block, truth = simulate_tod_diff(
                 nside, sky0[b], nscan=max(nscan // 2, 1), ndet=ndet,
                 ntod=max(ntod // 2, 512),
-                sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
-                gain0=1.0, seed=seed + b, pol=tcfg.pol)
+                sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * s0_scale,
+                gain0=1.0, seed=seed + b, pol=tcfg.pol, fknee=fknee)
             blocks[b] = (tcfg, block, init_tod_state(block), "diff",
                          _empty_tod_aux())
         else:
             block, truth = simulate_tod(
                 nside, sky0[b], nscan=nscan, ndet=ndet, ntod=ntod,
-                sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * 0.05,
-                gain0=1.0, seed=seed + b, pol=tcfg.pol)
+                sigma0=float(np.asarray(sys.inv_rms[b]).mean() ** -1) * s0_scale,
+                gain0=1.0, seed=seed + b, pol=tcfg.pol, fknee=fknee)
             aux = _empty_tod_aux()
             if getattr(cfg, "sample_tod_mono", False):
                 tcfg = dataclasses.replace(tcfg, sample_mono=True)
@@ -1362,6 +1365,16 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: large-nside graphs cost minutes on the
+    # axon remote compiler; cache them across runs/restarts (same policy
+    # as bench.py) so a crashed or resumed chain never recompiles.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from .io.chain import ChainFile
     from .model.cl import cl_eval
     from .sampling import amplitude as amp, gibbs
@@ -1951,6 +1964,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
                     enc_sp, _tod_enc[b][2] = _tod_enc_step[b](
                         enc_sp, _tod_enc[b][2], enc_pv, sky_d,
                         jnp.float32(it_f))
+                # sync so the tod timer sees the real device cost (the
+                # BASELINE per-phase protocol), not the async dispatch
+                jax.block_until_ready(enc_sp)
 
             _dbg_enc = bool(os.environ.get("COMMANDER_TPU_DEBUG_ENC"))
 
@@ -2029,6 +2045,25 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             _run_tod_enc(attempt)
             timer.stop("tod")
             status.update(f"iter {it} tod done (encoded)")
+            if _dbg_enc and meta.get("sky_true") is not None:
+                _probe = jax.jit(lambda e: (
+                    _tr.decode(spec_sp, e)[0].data.astype(jnp.float32),
+                    _tr.decode(spec_sp, e)[0].inv_rms.astype(jnp.float32)))
+                _dd_d, _ir_d = _probe(enc_sp)
+                _st_true = np.asarray(meta["sky_true"])
+                _dd = np.asarray(_dd_d)
+                _ir = np.asarray(_ir_d)
+                for _b in range(_dd.shape[0]):
+                    stats = []
+                    for _si in range(_dd.shape[1]):
+                        h = _ir[_b, _si] > 0
+                        z = (_dd[_b, _si][h] - _st_true[_b, _si][h]) \
+                            * _ir[_b, _si][h]
+                        stats.append(f"S{_si} chi2/dof={np.mean(z**2):.3g}"
+                                     f" max|z|={np.abs(z).max():.3g}"
+                                     f" hit={h.mean():.2f}")
+                    print(f"[enc tod it{it}] band {_b}: "
+                          + " ".join(stats), flush=True)
         elif tod_blocks:
             timer.start("tod")
             sky_bands = sky_fn_state(sys, plan, state)

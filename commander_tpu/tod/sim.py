@@ -49,7 +49,16 @@ def great_circle_scans(nside: int, nscan: int, ndet: int, ntod: int,
             x /= np.linalg.norm(x, axis=-1, keepdims=True)
             _, idx = tree.query(x)
             pix[s, d] = idx
-            psi[s, d] = (t * 0.5 + 0.7 * d + 0.2 * s) % np.pi
+            # polarization-angle rate 2/3 rad per scan radian: a pixel
+            # revisited on the next revolution (dt = 2pi) sees psi
+            # advance by 4pi/3 = pi/3 (mod pi), so even single-ring
+            # pixels accumulate 3 distinct angles and the 3x3 IQU
+            # normal matrix is invertible. The old rate 0.5 advanced
+            # psi by exactly pi = 0 (mod pi) per revolution — every
+            # revisit at the SAME angle — and the mapmaking condition
+            # check then rejected ~all pixels not crossed by a second
+            # scan (6% pol coverage at nside 16, worse at high nside).
+            psi[s, d] = (t * (2.0 / 3.0) + 0.7 * d + 0.2 * s) % np.pi
     return pix, psi
 
 
