@@ -1857,8 +1857,9 @@ def run(cfg, nside=None, lmax=None, synthetic=False, niter=None,
             st, th2, s2 = tpu_gibbs_mod.full_gibbs_step(
                 gcfg, _dt, _bt, fg_slots, s, p, st, th, k,
                 beam_consistent=_beam_con, ts=_ts, ps=_ps)
-            from .sampling.chisq import compute_residual as _cr
-            r = _cr(s2, p, st.a)
+            # band-sequential synthesis: the chisq residual shares the
+            # iteration peak with the slot loop's temps (HBM, not perf)
+            r = tpu_gibbs_mod.residual_seq(s2, p, st.a)
             if _ts is not None and st.t is not None:
                 r = r - joint_mod._templates_fwd(_ts, st.t)
             if _ps is not None and st.p is not None:

@@ -32,7 +32,25 @@ from ..sphere import sht
 from . import amplitude as amp
 from . import gibbs as gibbs_mod
 from . import specind as si
-from .chisq import compute_residual
+def synth_bands_seq(plan, alm_b):
+    """Band synthesis sequenced over the band axis (lax.map, unroll 1).
+
+    Identical math to amp._synth on (B, S, nl, nm); used on the
+    residual/index phases so only ONE band's ring-FFT workspaces are
+    live at a time. At nside 1024 the (B*S)-batched cap-Bluestein
+    scratches are ~280 MB each and the unrolled slot loop keeps ~16 of
+    them concurrent — the round-5 native-scale OOM (17.6/15.75 GB).
+    The CG operator keeps the batched _synth: it runs O(100x) more
+    often and its while-loop temps don't stack across slots."""
+    return jax.lax.map(lambda ab: amp._synth(plan, ab), alm_b)
+
+
+def residual_seq(sys, plan, a, exclude=None):
+    """compute_residual with band-sequential synthesis (same values)."""
+    if exclude is not None:
+        a = a.at[exclude].set(0.0)
+    alm_b = amp._project_bands(sys, plan, a)
+    return sys.data - synth_bands_seq(plan, alm_b)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,7 +152,7 @@ def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
         if F.ndim == 2:
             F = F[..., None].repeat(base_sys.data.shape[1], axis=-1)
         sys_i = dataclasses.replace(sys, F=F.astype(base_sys.data.dtype))
-        res = compute_residual(sys_i, plan, state.a, exclude=slot.ci)
+        res = residual_seq(sys_i, plan, state.a, exclude=slot.ci)
         if extra_sky is not None:
             # md / ptsrc / template signals are "other components" for
             # the index conditional (the reference's residual subtracts
@@ -147,8 +165,9 @@ def full_gibbs_step(gcfg: gibbs_mod.GibbsConfig, comps, bps, slots,
         # from 1; costs B extra synths per slot when on)
         amp_band = None
         if beam_consistent:
-            amp_band = sht.alm2map(
-                plan, state.a[slot.ci][None] * sys_i.bl[..., None])
+            amp_band = jax.lax.map(
+                lambda ab: sht.alm2map(plan, ab),
+                state.a[slot.ci][None] * sys_i.bl[..., None])
         t_new = si.sample_specind_fullsky(
             k, comps[slot.ci], bps, slot.cfg, res, amp_pix,
             sys_i.inv_rms2, tt[slot.ci], which=slot.which,
